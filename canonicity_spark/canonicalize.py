@@ -1,0 +1,191 @@
+"""Canonicalization stage (SURVEY.md §2.E G1–G8).
+
+Spec: BASELINE.json:6 — "canonicalization as clustering over the
+entity-mention similarity graph (connected components / iterative label
+propagation on a salted-key edge DataFrame)" with "skew salting for hot
+entities".
+
+Scale design:
+- The similarity graph is relational: an edge DataFrame, processed with
+  iterative joins — no GraphX/GraphFrames (not available, SURVEY §1.1).
+- Connected components = iterative min-label propagation. Each round is
+  join + **salted two-phase min-aggregation** (hot entities have huge
+  degree — Zipf skew — so the partial aggregate runs on (node, salt)
+  first, collapsing hot keys before the final per-node min; AQE only
+  splits skewed *joins*, not aggregations, hence the explicit salt).
+- ``localCheckpoint(eager=True)`` every round truncates the logical
+  plan — without it Catalyst re-optimizes a plan that doubles per
+  iteration and the job dies at scale (SURVEY §4, the one place naive
+  Spark falls over).
+- Convergence: count of changed labels per round (a driver action per
+  round, O(log diameter) rounds; star-shaped link graphs converge in
+  ≤2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ENT_PREFIX = "ent:"
+
+
+def build_edges(mentions: DataFrame, surface_links: DataFrame) -> DataFrame:
+    """G1/G2 — mention -> entity-node edges from surface-level links.
+
+    Linking happened per distinct surface (link.py), so the fan-out
+    back to mentions is one equi-join on norm_surface. Entity nodes are
+    namespaced ``ent:<entity_id>`` (or ``ent:new:<surface>`` for NIL
+    proto-entities) so node ids never collide with mention ids.
+    Canonical edge form: src < dst, no self-loops, deduped.
+    """
+    raw = mentions.select("mention_id", "norm_surface").join(
+        surface_links.select("norm_surface", "entity_id", "score"),
+        "norm_surface",
+        "inner",
+    ).select(
+        F.col("mention_id").alias("a"),
+        F.concat(F.lit(ENT_PREFIX), F.col("entity_id")).alias("b"),
+        F.col("score").alias("w"),
+        F.lit("link").alias("etype"),
+    )
+    return (
+        raw.select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+            "w",
+            "etype",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _salted_min(df: DataFrame, key: str, value: str, n_salts: int) -> DataFrame:
+    """G6 — two-phase min aggregation: partial min on (key, salt) then
+    final min on key. Salt is derived from the *value* so rows of a hot
+    key spread across reducers in phase one."""
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(F.min(value).alias(value))
+    )
+    return partial.groupBy(key).agg(F.min(value).alias(value))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    n_salts: int = 16,
+    use_salting: bool = True,
+) -> DataFrame:
+    """G3/G5 — labels(node, label), label = min node id in the component.
+
+    Generic min-label propagation over an undirected edge list;
+    semantically identical with salting on or off (tested as a property
+    in tests/props). Returns after the first round with zero changes.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    for _i in range(max_iter):
+        # propagate each node's label to its neighbors
+        nbr = (
+            sym.join(labels, sym.src == labels.node, "inner")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        cand = labels.unionByName(nbr)
+        if use_salting:
+            new_labels = _salted_min(cand, "node", "label", n_salts)
+        else:
+            new_labels = cand.groupBy("node").agg(F.min("label").alias("label"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def component_entity(labels: DataFrame) -> DataFrame:
+    """Map each component to its entity id: the entity node in the
+    component (min entity id if an over-merge ever produced several —
+    deterministic either way). Returns (label, entity_id)."""
+    ent_nodes = labels.filter(F.col("node").startswith(ENT_PREFIX))
+    return ent_nodes.groupBy("label").agg(
+        F.substring_index(F.min("node"), ENT_PREFIX, -1).alias("entity_id")
+    )
+
+
+def mention_entity_map(labels: DataFrame) -> DataFrame:
+    """(mention_id, entity_id): every non-entity node resolved through
+    its component's entity node."""
+    comp_ent = component_entity(labels)
+    return (
+        labels.filter(~F.col("node").startswith(ENT_PREFIX))
+        .join(comp_ent, "label", "inner")
+        .select(F.col("node").alias("mention_id"), "entity_id")
+    )
+
+
+def canonical_entities(
+    mention_map: DataFrame, mentions: DataFrame, entity_pool: DataFrame | None
+) -> DataFrame:
+    """G7/G8 — entities(entity_id, canonical_name, aliases, n_mentions).
+
+    canonical_name: the pool's name for known entities (broadcast join);
+    otherwise the most frequent surface (max_by over (freq, surface) —
+    deterministic tie-break). aliases: sorted distinct surfaces (G8).
+    """
+    m = mention_map.join(
+        mentions.select("mention_id", "norm_surface"), "mention_id", "inner"
+    )
+    surf_freq = m.groupBy("entity_id", "norm_surface").agg(F.count("*").alias("freq"))
+    per_entity = surf_freq.groupBy("entity_id").agg(
+        F.max_by(
+            "norm_surface", F.struct(F.col("freq"), F.col("norm_surface"))
+        ).alias("top_surface"),
+        F.array_sort(F.collect_set("norm_surface")).alias("aliases"),
+        F.sum("freq").alias("n_mentions"),
+    )
+    if entity_pool is not None:
+        per_entity = per_entity.join(
+            F.broadcast(entity_pool.select("entity_id", "canonical_name")),
+            "entity_id",
+            "left",
+        )
+    else:
+        per_entity = per_entity.withColumn(
+            "canonical_name", F.lit(None).cast("string")
+        )
+    return per_entity.select(
+        "entity_id",
+        F.coalesce("canonical_name", "top_surface").alias("canonical_name"),
+        "aliases",
+        F.col("n_mentions").cast("long"),
+    )
+
+
+def run(
+    mentions: DataFrame,
+    surface_links: DataFrame,
+    max_iter: int = 20,
+    use_salting: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (labels, mention_entity_map)."""
+    edges = build_edges(mentions, surface_links)
+    labels = connected_components(edges, max_iter=max_iter, use_salting=use_salting)
+    return labels, mention_entity_map(labels)

