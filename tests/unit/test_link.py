@@ -1,0 +1,99 @@
+"""Unit tests for the linking stage (SURVEY.md §2.D L1–L8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canonicity_spark import extract, fixtures, link
+from canonicity_spark.schemas import ALIAS_DICT
+
+
+def _mentions(spark, surfaces):
+    rows = [(f"m{i}", s, fixtures.norm(s)) for i, s in enumerate(surfaces)]
+    return spark.createDataFrame(rows, ["mention_id", "surface", "norm_surface"])
+
+
+def _dict(spark, rows):
+    return spark.createDataFrame(rows, schema=ALIAS_DICT)
+
+
+def test_shingles_builtin_matches_python(spark):
+    df = spark.createDataFrame([("acme corp",), ("ab",)], ["s"])
+    got = df.select(F.array_sort(link.shingles_col(F.col("s"))).alias("sh")).collect()
+    assert set(got[0].sh) == fixtures._shingles("acme corp")
+    assert set(got[1].sh) == {"ab"}
+
+
+def test_alias_exact_match_is_broadcast_join(spark):
+    m = _mentions(spark, ["Acme Corp", "zeta"])
+    d = _dict(spark, [("acme corp", "E1", 0.9), ("zeta", "E2", 0.5)])
+    links = link.run(m, d)
+    got = {r.norm_surface: (r.entity_id, r.score) for r in links.collect()}
+    assert got == {"acme corp": ("E1", 1.0), "zeta": ("E2", 1.0)}
+    # the physical plan must broadcast the dictionary side (L1)
+    plan = link.alias_candidates(
+        link.distinct_surfaces(m), link.normalize_alias_dict(d)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_recovers_misspelling(spark):
+    m = _mentions(spark, ["acme corporation", "acme corporatoin"])  # swap typo
+    d = _dict(spark, [("acme corporation", "E1", 0.9), ("other name", "E2", 0.1)])
+    links = link.run(m, d)
+    got = {r.norm_surface: r.entity_id for r in links.collect()}
+    assert got["acme corporatoin"] == "E1"
+
+
+def test_nil_routing(spark):
+    m = _mentions(spark, ["completely unrelated"])
+    d = _dict(spark, [("acme corporation", "E1", 0.9)])
+    links = link.run(m, d)
+    row = links.first()
+    assert row.entity_id == "new:completely unrelated"
+    assert row.gen_source == "nil"
+
+
+def test_score_formula_matches_python_mirror(spark):
+    pairs = [
+        ("acme corp", "acme corporation"),
+        ("zorvex labs", "zorvex lab"),
+        ("abc", "xyz"),
+        ("same", "same"),
+    ]
+    df = spark.createDataFrame(pairs, ["norm_surface", "cand_alias"])
+    got = {
+        (r.norm_surface, r.cand_alias): r.score
+        for r in link.score_candidates(df).collect()
+    }
+    for s, a in pairs:
+        assert abs(got[(s, a)] - fixtures.link_score(s, a)) < 1e-6, (s, a)
+
+
+def test_top_links_deterministic_tiebreak(spark):
+    cands = spark.createDataFrame(
+        [
+            ("x", "x1", "E2", 0.5, "lsh"),
+            ("x", "x1", "E1", 0.5, "lsh"),  # same score & prior -> min entity wins
+        ],
+        ["norm_surface", "cand_alias", "cand_entity_id", "prior", "gen_source"],
+    ).withColumn("score", F.lit(0.9))
+    best = link.top_links(cands, k=1).collect()
+    assert len(best) == 1 and best[0].entity_id == "E1"
+
+
+def test_full_corpus_links_all_surfaces_correctly(spark, docs, alias_dict, corpus_dir):
+    mentions, _ = extract.run(docs)
+    links = link.run(mentions, alias_dict)
+    import pyarrow.parquet as pq
+
+    gold = {
+        r["surface"]: r["entity_id"]
+        for r in pq.read_table(f"{corpus_dir}/golden_clusters.parquet").to_pylist()
+    }
+    for r in links.collect():
+        assert gold.get(r.norm_surface) == r.entity_id, (
+            r.norm_surface,
+            r.entity_id,
+            gold.get(r.norm_surface),
+        )
