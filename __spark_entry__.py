@@ -1,38 +1,732 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full KG pipeline over the sf0.001
+documents table (adapted flat→interleaved per FIXTURES.md §5), then
+top-20 subjects by triple support.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (+ the training-data ops in textops/similarity).
+Every computed column is aliased identically on both sides; doubles
+are rounded on both sides; DuckDB BIGINT/HUGEINT widenings are cast
+back to match Spark's types.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from canonicity_spark import (
+    adapter,
+    extract,
+    link,
+    materialize,
+    pipeline,
+    similarity,
+    textops,
+)
+from canonicity_spark.schemas import ALIAS_DICT
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _empty_alias_dict(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], schema=ALIAS_DICT)
+
+
+# ---------------------------------------------------------------------------
+# EP1 — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full pipeline on sf0.001 + flagship 'top entities by support'."""
+    docs = adapter.flat_to_interleaved(_t(spark, "/root/testdata/sf0.001", "documents"))
+    conf = pipeline.PipelineConf(work_dir=tempfile.mkdtemp(prefix="canonicity_entry_"))
+    triples = pipeline.run(spark, docs, _empty_alias_dict(spark), conf)
+    return (
+        triples.groupBy("subj")
+        .agg(F.sum("n_support").alias("total_support"))
+        .orderBy(F.desc("total_support"), F.asc("subj"))
+        .limit(20)
+    )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# EP2 — per-operator oracle queries
+# ---------------------------------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+Q = Callable[[SparkSession, str], DataFrame]
+
+
+# -- pipeline-shaped (documents table through the adapter) -------------------
+
+def q_s3_span_explode(spark, sf):
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    return extract.explode_spans(docs).select(
+        "doc_id", "span_idx", "kind", "text", "media_ref",
+        F.col("offset").alias("span_offset"),
+    )
+
+
+def q_s6_span_roundtrip(spark, sf):
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    back = extract.reassemble_spans(extract.explode_spans(docs))
+    return back.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.col("spans")[0]["kind"].alias("first_kind"),
+        F.element_at("spans", -1)["offset"].alias("last_offset"),
+    )
+
+
+def q_p2_kind_filter(spark, sf):
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    return (
+        extract.explode_spans(docs)
+        .filter(F.col("kind") != "text")
+        .select("doc_id", "media_ref")
+    )
+
+
+def q_n1_normalize(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", extract.norm_col(F.col("text")).alias("norm_text")
+    )
+
+
+def q_n5_media_triples(spark, sf):
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    return extract.extract_media_triples(docs).select(
+        F.col("subj_literal").alias("subj"), "pred", F.col("obj_literal").alias("obj")
+    )
+
+
+def q_kg_pipeline(spark, sf):
+    """Stateless full pipeline (extract→link→canonicalize→materialize)
+    over the adapted documents with an empty alias dictionary."""
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    from canonicity_spark import canonicalize
+
+    mentions, raw_triples = extract.run(docs)
+    links = link.run(mentions, _empty_alias_dict(spark))
+    _labels, mention_map = canonicalize.run(mentions, links)
+    return materialize.run(raw_triples, mention_map)
+
+
+# -- relational surface (§2.G) ----------------------------------------------
+
+def q_r1_join_broadcast(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_r2_join_shuffle(spark, sf):
+    l, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_r3_left_join(spark, sf):
+    p, l = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count("l_orderkey").alias("matched_lines"),
+            F.count("*").alias("total_rows"),
+        )
+    )
+
+
+def q_r4_semi_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def q_r5_anti_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_r6_self_join(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("n1"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("n2"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("n1") < F.col("n2"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumnRenamed("k", "l_orderkey")
+    )
+
+
+def q_r8_agg_q1(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_r9_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs")
+    )
+
+
+def q_r10_collect_sorted(spark, sf):
+    s, n = _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers")
+        )
+    )
+
+
+def q_r11_max_by(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def q_r13_window_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+    )
+
+
+def q_r14_window_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+def q_r15_window_frame(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("roll3"))
+
+
+def q_r16_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def q_r17_union(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return c.select(F.col("c_name").alias("name"), F.lit("customer").alias("kind")).unionByName(
+        s.select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
+    )
+
+
+def q_r18_except(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.select(F.col("c_custkey").alias("k")).exceptAll(
+        o.select(F.col("o_custkey").alias("k"))
+    )
+
+
+def q_r19_dedup(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.dropDuplicates(["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+# -- scalar function surface (§2.H) -------------------------------------------
+
+def q_f1_string(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_brand")).alias("lev"),
+    )
+
+
+def q_f2_hash_portable(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.md5("c_name").alias("md5"),
+    )
+
+
+def q_f2_hash_cardinality(spark, sf):
+    """xxhash64 has no DuckDB twin; check it injectively via distinct
+    cardinality parity (collision-free on this key space)."""
+    c = _t(spark, sf, "customer")
+    return c.agg(F.countDistinct(F.xxhash64("c_name")).alias("n_distinct"))
+
+
+def q_f3_array_hof(spark, sf):
+    p = _t(spark, sf, "part")
+    seq = F.sequence(F.lit(1), F.col("p_size"))
+    return p.select(
+        "p_partkey",
+        F.aggregate(seq, F.lit(0), lambda acc, x: acc + x).alias("sum_seq"),
+        F.size(seq).alias("n_seq"),
+    )
+
+
+def q_f3_shingles(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(link.shingles_col(F.lower(F.col("p_brand")))), "|"
+        ).alias("brand_shingles"),
+    )
+
+
+def q_f4_json(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("k_avg"), F.count("*").alias("n")
+    )
+
+
+def q_f5_datetime(spark, sf):
+    e = _t(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return e.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_f6_math(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_quantity") + 1), 4).alias("ln_qty"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+    )
+
+
+def q_f7_conditional(spark, sf):
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+    return o.groupBy(bucket.alias("bucket"), status.alias("status")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# -- training-data ops ---------------------------------------------------------
+
+def q_ta_token_stats(spark, sf):
+    return textops.token_stats(_t(spark, sf, "documents"))
+
+
+def q_ta_quality(spark, sf):
+    return textops.quality_score(_t(spark, sf, "documents"))
+
+
+def q_ta_lang_id(spark, sf):
+    return textops.lang_id(_t(spark, sf, "documents"))
+
+
+def q_ta_fingerprint(spark, sf):
+    return textops.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
+
+
+def q_dd_exact_dedup(spark, sf):
+    return textops.exact_dedup(_t(spark, sf, "documents"), ["lang", "source"])
+
+
+def q_dd_exact_text_dupes(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        (F.count("*") - F.countDistinct("text")).alias("n_dupes")
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    return similarity.cosine_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_u4_centroid_norm(spark, sf):
+    """Grouped-map pandas UDF (U4): per-label embedding centroid norm."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.mean(np.stack(pdf["embedding"].to_numpy()).astype(np.float64), axis=0)
+        return pd.DataFrame(
+            {"label": [pdf["label"].iloc[0]], "centroid_norm": [round(float(np.sqrt((m * m).sum())), 6)]}
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        centroid, "label int, centroid_norm double"
+    )
+
+
+def q_dd_minhash_pairs(spark, sf):
+    """MinHash-LSH near-dup candidates (no SQL oracle — rows-only check)."""
+    return similarity.minhash_near_dup_pairs(_t(spark, sf, "documents"))
+
+
+def q_dd_simhash(spark, sf):
+    """SimHash fingerprints (no SQL oracle — rows-only check)."""
+    return similarity.simhash_docs(_t(spark, sf, "documents"))
+
+
+def queries() -> dict[str, Q]:
+    return {
+        # pipeline operators
+        "s3_span_explode": q_s3_span_explode,
+        "s6_span_roundtrip": q_s6_span_roundtrip,
+        "p2_kind_filter": q_p2_kind_filter,
+        "n1_normalize": q_n1_normalize,
+        "n5_media_triples": q_n5_media_triples,
+        "kg_pipeline": q_kg_pipeline,
+        # relational surface
+        "r1_join_broadcast": q_r1_join_broadcast,
+        "r2_join_shuffle": q_r2_join_shuffle,
+        "r3_left_join": q_r3_left_join,
+        "r4_semi_join": q_r4_semi_join,
+        "r5_anti_join": q_r5_anti_join,
+        "r6_self_join": q_r6_self_join,
+        "r8_agg_q1": q_r8_agg_q1,
+        "r9_distinct": q_r9_distinct,
+        "r10_collect_sorted": q_r10_collect_sorted,
+        "r11_max_by": q_r11_max_by,
+        "r13_window_rank": q_r13_window_rank,
+        "r14_window_lag": q_r14_window_lag,
+        "r15_window_frame": q_r15_window_frame,
+        "r16_topk": q_r16_topk,
+        "r17_union": q_r17_union,
+        "r18_except": q_r18_except,
+        "r19_dedup": q_r19_dedup,
+        # scalar functions
+        "f1_string": q_f1_string,
+        "f2_hash_portable": q_f2_hash_portable,
+        "f2_hash_cardinality": q_f2_hash_cardinality,
+        "f3_array_hof": q_f3_array_hof,
+        "f3_shingles": q_f3_shingles,
+        "f4_json": q_f4_json,
+        "f5_datetime": q_f5_datetime,
+        "f6_math": q_f6_math,
+        "f7_conditional": q_f7_conditional,
+        # training-data ops
+        "ta_token_stats": q_ta_token_stats,
+        "ta_quality": q_ta_quality,
+        "ta_lang_id": q_ta_lang_id,
+        "ta_fingerprint": q_ta_fingerprint,
+        "dd_exact_dedup": q_dd_exact_dedup,
+        "dd_exact_text_dupes": q_dd_exact_text_dupes,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "u4_centroid_norm": q_u4_centroid_norm,
+        "dd_minhash_pairs": q_dd_minhash_pairs,
+        "dd_simhash": q_dd_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s3_span_explode": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx, 'text' AS kind,
+                   text, CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_offset
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 1, 'image', CAST(NULL AS VARCHAR),
+                   'media://' || doc_id, CAST(n_chars AS INT)
+            FROM documents
+        """,
+        "s6_span_roundtrip": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 2 AS n_spans,
+                   'text' AS first_kind, CAST(n_chars AS INT) AS last_offset
+            FROM documents
+        """,
+        "p2_kind_filter": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'media://' || doc_id AS media_ref
+            FROM documents
+        """,
+        "n1_normalize": r"""
+            SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+            FROM documents
+        """,
+        "n5_media_triples": """
+            SELECT 'doc:' || doc_id AS subj, 'hasMedia' AS pred,
+                   'media://' || doc_id AS obj
+            FROM documents
+        """,
+        "kg_pipeline": """
+            SELECT 'doc:' || doc_id AS subj, 'hasMedia' AS pred,
+                   'media://' || doc_id AS obj, 1.0 AS conf, CAST(1 AS BIGINT) AS n_support
+            FROM documents
+        """,
+        "r1_join_broadcast": """
+            SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "r2_join_shuffle": """
+            SELECT o_orderpriority, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "r3_left_join": """
+            SELECT p_brand, count(l_orderkey) AS matched_lines, count(*) AS total_rows
+            FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+            GROUP BY p_brand
+        """,
+        "r4_semi_join": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "r5_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "r6_self_join": """
+            SELECT a.l_orderkey, count(*) AS n_pairs
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+            GROUP BY a.l_orderkey
+        """,
+        "r8_agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "r9_distinct": """
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "r10_collect_sorted": """
+            SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "r11_max_by": """
+            SELECT c_mktsegment, arg_max(c_name, c_acctbal) AS richest,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "r13_window_rank": """
+            SELECT o_orderpriority, o_orderkey, CAST(rn AS INT) AS rn FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "r14_window_lag": """
+            SELECT event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+            FROM events
+        """,
+        "r15_window_frame": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
+            FROM events
+        """,
+        "r16_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "r17_union": """
+            SELECT c_name AS name, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        """,
+        "r18_except": """
+            SELECT c_custkey AS k FROM customer
+            EXCEPT ALL
+            SELECT o_custkey AS k FROM orders
+        """,
+        "r19_dedup": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "f1_string": """
+            SELECT p_partkey, lower(p_name) AS lname,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   substring(p_type, 1, 5) AS type5,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   CAST(levenshtein(lower(p_name), lower(p_brand)) AS INT) AS lev
+            FROM part
+        """,
+        "f2_hash_portable": """
+            SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5 FROM customer
+        """,
+        "f2_hash_cardinality": """
+            SELECT count(DISTINCT c_name) AS n_distinct FROM customer
+        """,
+        "f3_array_hof": """
+            SELECT p_partkey,
+                   CAST(p_size * (p_size + 1) // 2 AS INT) AS sum_seq,
+                   CAST(p_size AS INT) AS n_seq
+            FROM part
+        """,
+        "f3_shingles": """
+            SELECT p_partkey,
+                   array_to_string(list_sort(list_distinct(
+                       CASE WHEN length(lower(p_brand)) >= 3
+                            THEN list_transform(range(1, length(lower(p_brand)) - 1),
+                                                i -> lower(p_brand)[i : i + 2])
+                            ELSE [lower(p_brand)] END)), '|') AS brand_shingles
+            FROM part
+        """,
+        "f4_json": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS k_avg,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "f5_datetime": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "f6_math": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt(l_extendedprice), 4) AS sqrt_price,
+                   round(ln(l_quantity + 1), 4) AS ln_qty,
+                   round(greatest(l_tax, l_discount), 4) AS max_rate
+            FROM lineitem
+        """,
+        "f7_conditional": """
+            SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'small' END AS bucket,
+                   coalesce(nullif(o_orderstatus, 'O'), 'open') AS status,
+                   count(*) AS n
+            FROM orders GROUP BY 1, 2
+        """,
+        "ta_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars_measured,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "ta_quality": r"""
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CAST(len(list_filter(toks, t -> list_contains(
+                       ['the','of','and','to','in','a','is','that','for','it'], lower(t)))) AS DOUBLE)
+                       / len(toks), 4) AS stopword_ratio,
+                   round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                       / length(text), 4) AS digit_ratio
+            FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+        """,
+        "ta_lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+                        WHEN s_es >= s_en THEN 'es'
+                        ELSE 'en' END AS pred_lang,
+                   CAST(greatest(s_en, s_es, s_fr) AS INT) AS pred_score
+            FROM (
+                SELECT doc_id,
+                    len(list_filter(toks, t -> list_contains(['the','of','and','to','in','a','is','that','for','it'], lower(t)))) AS s_en,
+                    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','se','no'], lower(t)))) AS s_es,
+                    len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un','du','une'], lower(t)))) AS s_fr
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+            )
+        """,
+        "ta_fingerprint": r"""
+            SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+            FROM documents
+        """,
+        "dd_exact_dedup": """
+            SELECT lang, source, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes
+            FROM documents GROUP BY lang, source
+        """,
+        "dd_exact_text_dupes": """
+            SELECT count(*) - count(DISTINCT text) AS n_dupes FROM documents
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id, round(
+                       list_dot_product(CAST(embedding AS DOUBLE[]), q) /
+                       (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q, q))), 6) AS cosine_sim
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "u4_centroid_norm": """
+            SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
+            FROM (
+                SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+                FROM embeddings, range(1, 65) t(i)
+                GROUP BY label, i
+            )
+            GROUP BY label
+        """,
+        # dd_minhash_pairs / dd_simhash intentionally omitted:
+        # MinHash banding and SimHash are not SQL-expressible; the driver
+        # records the weaker rows-only check for them.
+    }

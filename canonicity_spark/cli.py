@@ -1,0 +1,81 @@
+"""Production entry point (SURVEY.md §3 EP3).
+
+Run via spark-submit on a cluster (BASELINE.json:14):
+
+    spark-submit --py-files canonicity_spark.zip -m canonicity_spark.cli \
+        --input /path/docs --alias-dict /path/alias --work-dir /path/stages \
+        --run-id r42 --resume
+
+In the sandbox the same script runs as plain python with ``--master
+local[K]`` — the substitution for executor count used by the scaling
+benchmark (BENCH/scaling.py). The code path is identical to EP1:
+``pipeline.run`` with the parquet stage catalog (Iceberg selected by
+``--backend iceberg --catalog ... --database ...`` on a cluster with
+the runtime jars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="canonicity_spark")
+    p.add_argument("--input", required=True, help="interleaved documents parquet")
+    p.add_argument("--alias-dict", required=True, help="alias dictionary parquet")
+    p.add_argument("--entity-pool", default=None)
+    p.add_argument("--work-dir", required=True, help="stage catalog root")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--tau", type=float, default=0.6)
+    p.add_argument("--no-salting", action="store_true")
+    p.add_argument("--master", default=None, help="sandbox only; omit under spark-submit")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from canonicity_spark import pipeline, session
+
+    spark = session.build(
+        app_name="canonicity-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(args.input)
+    alias = spark.read.parquet(args.alias_dict)
+    pool = spark.read.parquet(args.entity_pool) if args.entity_pool else None
+
+    n_docs = docs.count()
+    conf = pipeline.PipelineConf(
+        work_dir=args.work_dir,
+        run_id=args.run_id,
+        tau=args.tau,
+        use_salting=not args.no_salting,
+        resume=args.resume,
+    )
+    t0 = time.perf_counter()
+    triples = pipeline.run(spark, docs, alias, conf, entity_pool=pool)
+    n_triples = triples.count()
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_triples": n_triples,
+                "wall_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "stages_run": conf.stages_run,
+                "master": args.master or "submit-provided",
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+Beyond the reference pipeline's own operators, these are the
+text-side primitives a 10^12-document training-data pipeline needs:
+token counting, quality scoring, language-ID heuristics, document
+fingerprinting, exact dedup. All are pure builtin column expressions
+(JVM, whole-stage codegen) — no Python in the hot path — and each has
+a DuckDB-oracle query in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+
+def tokens_col(text: str | F.Column = "text"):
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token count, char count, average token length per document."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(F.length(F.translate("text", " ", "")) / F.size(toks), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, stopword ratio (en), digit
+    ratio, mean word length — the standard cheap pre-filter signals."""
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_digits / F.length("text"), 4).alias("digit_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free stopword-vote language ID: score = stopword hits per
+    language, argmax with deterministic tie-break on language code."""
+    toks = tokens_col("text")
+
+    def _is_stopword(ws: list[str]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        # single-param lambda — a second param would make Spark pass the
+        # element index into it
+        return lambda t: F.array_contains(arr, F.lower(t))
+
+    scores = [
+        F.size(F.filter(toks, _is_stopword(ws))).alias(f"score_{lang}")
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    scored = docs.select("doc_id", *scores)
+    langs = sorted(STOPWORDS)
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in langs]
+    )
+    # argmax by (score, lang) — ties deterministically pick the
+    # lexicographically largest code
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id", best["l"].alias("pred_lang"), best["s"].alias("pred_score")
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text
+    (portable — DuckDB computes the identical value) plus a Spark-native
+    xxhash64 for cheap 64-bit joins at scale."""
+    normed = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normed).alias("fp_md5"),
+        F.xxhash64(normed).alias("fp_xxh64"),
+    )
+
+
+def exact_dedup(docs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup via hash-groupBy on the key: keep min doc_id as the
+    canonical representative, count the group. Map-side partial
+    aggregation makes this skew-tolerant at any scale."""
+    return docs.groupBy(*key_cols).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_dupes"),
+    )
