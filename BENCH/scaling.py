@@ -21,6 +21,8 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # allow `python BENCH/scaling.py` from anywhere
+    sys.path.insert(0, REPO)
 
 
 def run_level(corpus: str, cores: int, shuffle: int) -> dict:
@@ -36,20 +38,27 @@ def run_level(corpus: str, cores: int, shuffle: int) -> dict:
                 "--work-dir", wd,
                 "--master", f"local[{cores}]",
                 "--shuffle-partitions", str(shuffle),
+                "--warmup",
             ],
             cwd=REPO,
             capture_output=True,
             text=True,
             timeout=3600,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not json_lines:
+            sys.stderr.write(
+                f"cli failed at local[{cores}] (rc={out.returncode}):\n"
+                + out.stderr[-4000:]
+            )
+            raise RuntimeError(f"no JSON output from local[{cores}] run")
+        return json.loads(json_lines[-1])
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
     corpus = os.path.join(REPO, "BENCH", "data", f"docs_{n_docs}")
     if not os.path.exists(os.path.join(corpus, "documents.parquet")):
         from canonicity_spark import fixtures
@@ -77,9 +86,9 @@ Triples emitted: {r8['n_triples']} (local[8]) / {r32['n_triples']} (local[32]) â
 output across parallelism levels (determinism requirement).
 
 Notes
-- wall time is pipeline-only (post `docs.count()` warm read), measured
-  inside the cli process; JVM startup excluded from the ratio because it
-  is identical at both levels.
+- wall time is steady-state pipeline time: each level first runs a
+  1000-doc throwaway pipeline (--warmup) so JVM codegen + Python-worker
+  bootstrap â€” identical at both levels â€” is excluded from the ratio.
 - shuffle partitions scale with cores (2x) so reduce-side parallelism
   tracks executor count, as it would cluster-side.
 """

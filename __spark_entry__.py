@@ -110,13 +110,19 @@ def q_n5_media_triples(spark, sf):
 def q_kg_pipeline(spark, sf):
     """Stateless full pipeline (extract→link→canonicalize→materialize)
     over the adapted documents with an empty alias dictionary."""
-    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    docs = extract.ensure_parallelism(
+        adapter.flat_to_interleaved(_t(spark, sf, "documents")), "doc_id"
+    )
     from canonicity_spark import canonicalize
 
     mentions, raw_triples = extract.run(docs)
+    # mentions feeds linking AND the label fan-out; persist so the
+    # extraction UDFs run once (pipeline.run achieves the same via
+    # stage checkpoints)
+    mentions = mentions.persist()
     links = link.run(mentions, _empty_alias_dict(spark))
-    _labels, mention_map = canonicalize.run(mentions, links)
-    return materialize.run(raw_triples, mention_map)
+    _labels, surface_map = canonicalize.run(links)
+    return materialize.run(raw_triples, mentions, surface_map)
 
 
 # -- relational surface (§2.G) ----------------------------------------------

@@ -64,6 +64,16 @@ def main() -> None:
     # headline: full KG pipeline on the synthetic interleaved corpus
     docs = spark.read.parquet(f"{corpus}/documents.parquet")
     alias = spark.read.parquet(f"{corpus}/alias_dict.parquet")
+
+    # untimed warmup: spin up JVM codegen + Python UDF workers on a
+    # small slice so the timed runs measure the pipeline, not process
+    # bootstrap (both scaling levels in BENCH/scaling.py pay bootstrap
+    # equally, so it cancels there; here it would just add noise)
+    warm_wd = tempfile.mkdtemp(prefix="bench_warmup_")
+    warm_conf = pipeline.PipelineConf(work_dir=warm_wd, resume=False)
+    pipeline.run(spark, docs.limit(500), alias, warm_conf).count()
+    shutil.rmtree(warm_wd, ignore_errors=True)
+
     wd = tempfile.mkdtemp(prefix="bench_pipeline_")
 
     def run_pipeline():

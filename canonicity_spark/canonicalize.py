@@ -30,21 +30,25 @@ from pyspark.sql import functions as F
 ENT_PREFIX = "ent:"
 
 
-def build_edges(mentions: DataFrame, surface_links: DataFrame) -> DataFrame:
-    """G1/G2 — mention -> entity-node edges from surface-level links.
+SURF_PREFIX = "surf:"
 
-    Linking happened per distinct surface (link.py), so the fan-out
-    back to mentions is one equi-join on norm_surface. Entity nodes are
-    namespaced ``ent:<entity_id>`` (or ``ent:new:<surface>`` for NIL
-    proto-entities) so node ids never collide with mention ids.
-    Canonical edge form: src < dst, no self-loops, deduped.
+
+def build_edges(surface_links: DataFrame) -> DataFrame:
+    """G1/G2 — the similarity graph, at *surface* granularity.
+
+    Scale decision: clustering runs over the distinct-surface vocabulary
+    (``surf:<norm_surface>`` ↔ ``ent:<entity_id>`` edges), NOT over
+    individual mentions. Every linking signal is a function of the
+    normalized surface (link.py resolves per distinct surface), so the
+    mention-level graph is the surface-level graph with each surface
+    node replicated once per occurrence — same components, 10^6-ish
+    nodes instead of 10^12. Mentions get their component label back via
+    a single equi-join in mention_entity_map. Node namespaces (surf:/
+    ent:) keep ids collision-free. Canonical edge form: src < dst, no
+    self-loops, deduped.
     """
-    raw = mentions.select("mention_id", "norm_surface").join(
-        surface_links.select("norm_surface", "entity_id", "score"),
-        "norm_surface",
-        "inner",
-    ).select(
-        F.col("mention_id").alias("a"),
+    raw = surface_links.select(
+        F.concat(F.lit(SURF_PREFIX), F.col("norm_surface")).alias("a"),
         F.concat(F.lit(ENT_PREFIX), F.col("entity_id")).alias("b"),
         F.col("score").alias("w"),
         F.lit("link").alias("etype"),
@@ -107,7 +111,11 @@ def connected_components(
             new_labels = _salted_min(cand, "node", "label", n_salts)
         else:
             new_labels = cand.groupBy("node").agg(F.min("label").alias("label"))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # truncate lineage every few rounds — often enough that the
+        # growing plan never blows up Catalyst, rarely enough that the
+        # materialization cost doesn't dominate short convergences
+        if _i % 3 == 2:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -130,30 +138,49 @@ def component_entity(labels: DataFrame) -> DataFrame:
     )
 
 
-def mention_entity_map(labels: DataFrame) -> DataFrame:
-    """(mention_id, entity_id): every non-entity node resolved through
+def surface_entity_map(labels: DataFrame) -> DataFrame:
+    """(norm_surface, entity_id): every surface node resolved through
     its component's entity node."""
     comp_ent = component_entity(labels)
     return (
-        labels.filter(~F.col("node").startswith(ENT_PREFIX))
+        labels.filter(F.col("node").startswith(SURF_PREFIX))
         .join(comp_ent, "label", "inner")
-        .select(F.col("node").alias("mention_id"), "entity_id")
+        .select(
+            F.col("node").substr(F.lit(len(SURF_PREFIX) + 1), F.length("node")).alias(
+                "norm_surface"
+            ),
+            "entity_id",
+        )
     )
 
 
+def mention_entity_map(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """(mention_id, entity_id): fan the surface-level component labels
+    back out to mentions — one shuffled equi-join on norm_surface (the
+    surface map is vocabulary-sized and usually broadcastable, but the
+    optimizer/AQE decides since its size is data-dependent)."""
+    smap = surface_entity_map(labels)
+    return mentions.select("mention_id", "norm_surface").join(
+        smap, "norm_surface", "inner"
+    ).select("mention_id", "entity_id")
+
+
 def canonical_entities(
-    mention_map: DataFrame, mentions: DataFrame, entity_pool: DataFrame | None
+    surface_map: DataFrame, mentions: DataFrame, entity_pool: DataFrame | None
 ) -> DataFrame:
     """G7/G8 — entities(entity_id, canonical_name, aliases, n_mentions).
+
+    Scale shape: the only mention-scale operation is one map-side-
+    combined groupBy(norm_surface) count; everything after runs on the
+    vocabulary (surface_map join, per-entity collect/max_by). No
+    mention-scale join or collect ever happens.
 
     canonical_name: the pool's name for known entities (broadcast join);
     otherwise the most frequent surface (max_by over (freq, surface) —
     deterministic tie-break). aliases: sorted distinct surfaces (G8).
     """
-    m = mention_map.join(
-        mentions.select("mention_id", "norm_surface"), "mention_id", "inner"
-    )
-    surf_freq = m.groupBy("entity_id", "norm_surface").agg(F.count("*").alias("freq"))
+    surface_freq = mentions.groupBy("norm_surface").agg(F.count("*").alias("freq"))
+    surf_freq = surface_map.join(surface_freq, "norm_surface", "inner")
     per_entity = surf_freq.groupBy("entity_id").agg(
         F.max_by(
             "norm_surface", F.struct(F.col("freq"), F.col("norm_surface"))
@@ -180,12 +207,11 @@ def canonical_entities(
 
 
 def run(
-    mentions: DataFrame,
     surface_links: DataFrame,
     max_iter: int = 20,
     use_salting: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (labels, mention_entity_map)."""
-    edges = build_edges(mentions, surface_links)
+    """Returns (labels, surface_entity_map) — both vocabulary-sized."""
+    edges = build_edges(surface_links)
     labels = connected_components(edges, max_iter=max_iter, use_salting=use_salting)
-    return labels, mention_entity_map(labels)
+    return labels, surface_entity_map(labels)

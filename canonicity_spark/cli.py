@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-salting", action="store_true")
     p.add_argument("--master", default=None, help="sandbox only; omit under spark-submit")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run a 1000-doc throwaway pipeline first so the timed run "
+        "measures steady-state throughput, not JVM/Python-worker bootstrap",
+    )
     args = p.parse_args(argv)
 
     from canonicity_spark import pipeline, session
@@ -48,6 +54,15 @@ def main(argv: list[str] | None = None) -> None:
     docs = spark.read.parquet(args.input)
     alias = spark.read.parquet(args.alias_dict)
     pool = spark.read.parquet(args.entity_pool) if args.entity_pool else None
+
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        warm_dir = tempfile.mkdtemp(prefix="cli_warmup_")
+        warm_conf = pipeline.PipelineConf(work_dir=warm_dir, resume=False)
+        pipeline.run(spark, docs.limit(1000), alias, warm_conf).count()
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     n_docs = docs.count()
     conf = pipeline.PipelineConf(
@@ -70,6 +85,7 @@ def main(argv: list[str] | None = None) -> None:
                 "wall_sec": round(wall, 3),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "stages_run": conf.stages_run,
+                "stage_wall": conf.stage_wall,
                 "master": args.master or "submit-provided",
             }
         )

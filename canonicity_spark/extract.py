@@ -35,6 +35,21 @@ from canonicity_spark.schemas import PARSE, SENTENCE
 # ---------------------------------------------------------------------------
 
 
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """P5 — explicit repartitioning (BASELINE.json:6 'explicit
+    repartitioning'). A small parquet input arrives as one split, which
+    would serialize every pandas-UDF stage onto one core; repartition up
+    to the configured shuffle width when the scan is narrower than the
+    cluster. No-op (no shuffle) when the input is already wide — the
+    normal case at scale, where file count >> cores."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, *keys) if keys else df.repartition(width)
+
+
 def explode_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, spans) -> (doc_id, span_idx, kind, text, media_ref, offset).
 
@@ -105,7 +120,13 @@ _SENT_RE = re.compile(r"[^.]+\.")
 
 @pandas_udf(returnType=ArrayType(SENTENCE))
 def segment_sentences(texts: pd.Series) -> pd.Series:
-    """text -> [(sent_id, s_text, s_begin)] — batched, pure, offset-preserving."""
+    """text -> [(sent_id, s_text, s_begin)] — batched, pure, offset-preserving.
+
+    Reference implementation; the pipeline hot path uses
+    ``segment_sentences_expr`` (pure codegen — returning array<struct>
+    of Python dicts through Arrow costs more than the segmentation
+    itself). A unit test pins the two to identical output.
+    """
     out = []
     for t in texts:
         if t is None:
@@ -120,6 +141,33 @@ def segment_sentences(texts: pd.Series) -> pd.Series:
             )
         out.append(sents)
     return pd.Series(out)
+
+
+def segment_sentences_expr(text: Column) -> Column:
+    """N2 as a pure column expression (JVM, whole-stage codegen):
+    split on inter-sentence whitespace (lookbehind keeps the periods),
+    cumulative starts via the ``aggregate`` higher-order function —
+    no Python crossing, no shuffle. Trailing text without a terminator
+    yields one fragment that the parser rejects downstream, matching
+    the UDF's drop behavior."""
+    sents = F.split(text, r"(?<=\.)\s+")
+    starts = F.aggregate(
+        sents,
+        F.array(F.lit(0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + F.length(x) + 1)),
+    )
+    idx = F.sequence(F.lit(0), F.size(sents) - 1)
+    return F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("sent_id"),
+                F.element_at(sents, i + 1).alias("s_text"),
+                F.element_at(starts, i + 1).cast("int").alias("s_begin"),
+            ),
+        ),
+        lambda s: F.length(s["s_text"]) > 0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -150,27 +198,38 @@ _NUM_RE = re.compile(r"^\d+$")
 
 @pandas_udf(returnType=PARSE)
 def parse_sentence(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Vectorized template parse: pyarrow's RE2-backed ``extract_regex``
+    does the whole Arrow batch in C++ (~10× the throughput of a Python
+    re loop building row tuples). Group offsets are derived from group
+    lengths — the template separates fields with single spaces, and the
+    match is anchored, so subj_begin == 0 and
+    obj_begin == len(subj) + len(phrase) + 2.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     pat, phrase2pred = _build_parse_re()
-    cols = [f.name for f in PARSE.fields]
     for texts in batches:
-        rows = []
-        for t in texts:
-            m = pat.match(t) if t is not None else None
-            if m is None:
-                rows.append((None, None, None, None, None, None))
-                continue
-            obj = m.group("obj")
-            rows.append(
-                (
-                    m.group("subj"),
-                    m.start("subj"),
-                    phrase2pred[m.group("phrase")],
-                    obj,
-                    m.start("obj"),
-                    1 if _NUM_RE.match(obj) else 0,
-                )
-            )
-        yield pd.DataFrame(rows, columns=cols)
+        arr = pa.Array.from_pandas(texts)
+        ext = pc.extract_regex(arr, pattern=pat.pattern)
+        subj = ext.field("subj").to_pandas()
+        phrase = ext.field("phrase").to_pandas()
+        obj = ext.field("obj").to_pandas()
+        matched = subj.notna()
+        subj_len = subj.str.len()
+        phrase_len = phrase.str.len()
+        yield pd.DataFrame(
+            {
+                "subj_surface": subj,
+                "subj_begin": subj_len.mul(0).astype("Int32"),
+                "pred": phrase.map(phrase2pred),
+                "obj_surface": obj,
+                "obj_begin": (subj_len + phrase_len + 2).astype("Int32"),
+                "obj_is_literal": obj.str.fullmatch(r"\d+")
+                .map({True: 1, False: 0})
+                .astype("Int32"),
+            }
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +252,7 @@ def parsed_sentences(docs: DataFrame) -> DataFrame:
         "doc_id",
         "span_idx",
         "offset",
-        F.explode(segment_sentences("text")).alias("s"),
+        F.explode(segment_sentences_expr(F.col("text"))).alias("s"),
     ).select("doc_id", "span_idx", "offset", "s.sent_id", "s.s_text", "s.s_begin")
     parsed = sents.withColumn("p", parse_sentence("s_text"))
     return parsed.filter(F.col("p.pred").isNotNull()).select(

@@ -307,7 +307,9 @@ def generate(
         ("golden_clusters", clusters_tbl),
     ]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        # small row groups so Spark's scan splits a single file across
+        # executors without needing an up-front repartition shuffle
+        pq.write_table(tbl, p, row_group_size=2048)
         paths[name] = p
     return paths
 

@@ -93,29 +93,76 @@ def minhash_signature(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(out)
 
 
-@pandas_udf(returnType=ArrayType(LongType()))
-def minhash_band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """L3+L4 fused — MinHash signature then one hash per band of r rows.
+def make_minhash_band_udf(k: int, n_bands: int, n_rows: int, shingle_n: int = 3):
+    """L3+L4 fused — char-n-gram shingling, MinHash signature, and one
+    hash per band of r rows, in a single vectorized iterator UDF over
+    the raw string column.
 
-    Fused into a single vectorized UDF because Catalyst (correctly)
-    refuses a Python UDF inside a higher-order-function lambda; fusing
-    also halves the Arrow crossings. Band hash = crc32 of the band's
-    signature bytes — process-stable and deterministic.
+    Fused because Catalyst (correctly) refuses a Python UDF inside a
+    higher-order-function lambda, and fusing cuts the Arrow crossings
+    to one. Shingle hashing is a numpy rolling polynomial over the
+    utf-8 bytes (sliding_window_view × weights, wrap-mod 2^64) — zero
+    per-shingle Python, ~100× faster than hashing shingles one by one
+    on long documents. Everything is process-stable and deterministic
+    across executors/retries (BASELINE.json:14).
+
+    Parametrized so callers tune the LSH S-curve: surface linking wants
+    high recall at moderate jaccard (many bands, short rows); document
+    dedup wants high precision at jaccard ≥ 0.8 (fewer bands, longer
+    rows).
     """
-    a, b = _hash_params(MINHASH_K)
-    for shingle_arrays in batches:
-        out = []
-        for sh in shingle_arrays:
-            if sh is None or len(sh) == 0:
-                out.append([0] * LSH_BANDS)
-                continue
-            crcs = np.array(
-                [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
-            ).reshape(-1, 1)
-            sig = ((crcs * a[None, :] + b[None, :]) % _MERSENNE).min(axis=0)
-            bands = sig.reshape(LSH_BANDS, LSH_ROWS)
-            out.append([zlib.crc32(bands[i].tobytes()) for i in range(LSH_BANDS)])
-        yield pd.Series(out)
+    assert k == n_bands * n_rows
+
+    @pandas_udf(returnType=ArrayType(LongType()))
+    def band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        a, b = _hash_params(k)
+        weights = np.uint64(1099511628211) ** np.arange(shingle_n, dtype=np.uint64)
+        mask = np.int64(0x7FFFFFFFFFFFFFFF)
+        for texts in batches:
+            out = []
+            for t in texts:
+                if not t:
+                    out.append([0] * n_bands)
+                    continue
+                buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(buf) < shingle_n:
+                    hs = np.array(
+                        [(buf * weights[: len(buf)]).sum()], dtype=np.uint64
+                    )
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(buf, shingle_n)
+                    hs = (win * weights[None, :]).sum(axis=1)  # wrap-mod 2^64
+                shingle_hashes = np.unique(hs).astype(np.int64) & mask
+                if len(shingle_hashes) <= 4 * k:
+                    # dense k-permutation MinHash: exact, cheap for short
+                    # strings (linker surfaces)
+                    sig = (
+                        (shingle_hashes.reshape(-1, 1) * a[None, :] + b[None, :])
+                        % _MERSENNE
+                    ).min(axis=0)
+                else:
+                    # one-permutation hashing for long documents: O(n)
+                    # instead of O(n*k) (Li et al., NIPS 2012), with
+                    # circular rotation densification for empty buckets
+                    mixed = (shingle_hashes * a[0] + b[0]) % _MERSENNE
+                    buckets = mixed % k
+                    sig = np.full(k, _MERSENNE, dtype=np.int64)
+                    np.minimum.at(sig, buckets, mixed)
+                    if (sig == _MERSENNE).any():
+                        for i in range(k):  # k-step loop, negligible
+                            if sig[i] == _MERSENNE:
+                                sig[i] = sig[(i - 1) % k]
+                        for i in range(k):
+                            if sig[i] == _MERSENNE:
+                                sig[i] = sig[(i - 1) % k]
+                bands = sig.reshape(n_bands, n_rows)
+                out.append([zlib.crc32(bands[i].tobytes()) for i in range(n_bands)])
+            yield pd.Series(out)
+
+    return band_hashes
+
+
+minhash_band_hashes = make_minhash_band_udf(MINHASH_K, LSH_BANDS, LSH_ROWS, shingle_n=3)
 
 
 def distinct_surfaces(mentions: DataFrame) -> DataFrame:
@@ -152,7 +199,7 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """
     def with_bands(df: DataFrame, text_col: str) -> DataFrame:
         return df.withColumn(
-            "_bands", minhash_band_hashes(shingles_col(F.col(text_col)))
+            "_bands", minhash_band_hashes(F.col(text_col))
         ).select(
             "*", F.posexplode("_bands").alias("band_id", "band_hash")
         ).drop("_bands")
@@ -161,10 +208,17 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     a_bands = with_bands(
         alias_dict.select("alias", "entity_id", "prior"), "alias"
     )
-    bucket_w = Window.partitionBy("band_id", "band_hash")
-    a_bands = a_bands.withColumn("_bsz", F.count("*").over(bucket_w)).filter(
-        F.col("_bsz") <= _MAX_BUCKET
+    # Skew guard: hot buckets are by definition FEW, so exclude them via
+    # a broadcast anti-join against the over-cap bucket list (a window
+    # count would sort every bucket; the aggregate gets map-side combine
+    # and the anti-join never shuffles the big side by bucket twice).
+    hot = (
+        a_bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > _MAX_BUCKET)
+        .select("band_id", "band_hash")
     )
+    a_bands = a_bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
     pairs = m_bands.join(a_bands, ["band_id", "band_hash"], "inner")
     return pairs.select(
         "norm_surface",
@@ -222,7 +276,10 @@ def link_surfaces(
     unknown surfaces still canonicalize together.
     """
     dict_norm = normalize_alias_dict(alias_dict)
-    surfaces = distinct_surfaces(mentions)
+    # surfaces and best feed multiple consumers (candidates, NIL
+    # anti-join, output union); they are vocabulary-sized — persist so
+    # the mention-scale aggregation and the scoring pipeline run once.
+    surfaces = distinct_surfaces(mentions).persist()
 
     exact = alias_candidates(surfaces, dict_norm)
     unmatched = surfaces.join(
@@ -232,7 +289,9 @@ def link_surfaces(
     )
     fuzzy = lsh_candidates(unmatched, dict_norm)
     cands = exact.unionByName(fuzzy)
-    best = top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau)
+    best = (
+        top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau).persist()
+    )
 
     nil = surfaces.join(best.select("norm_surface"), "norm_surface", "left_anti").select(
         "norm_surface",

@@ -22,17 +22,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_triples(raw_triples: DataFrame, mention_map: DataFrame) -> DataFrame:
+def resolve_triples(
+    raw_triples: DataFrame, mentions: DataFrame, surface_map: DataFrame
+) -> DataFrame:
     """M1 — rewrite subject/object mention ids to canonical entity ids.
+
+    The mention→entity mapping is composed lazily from the mentions
+    table (mention_id → norm_surface, column-pruned scan) and the
+    vocabulary-sized surface→entity map — it is never materialized at
+    mention scale. The surface-map join is broadcastable whenever the
+    vocabulary fits (the optimizer/AQE decides); the two mention-id
+    joins are the only mention-scale shuffles in the stage, on evenly
+    distributed content-hash keys.
 
     Subjects/objects without a mention id keep their literal
     (media-span doc subjects, year/count objects).
     """
-    subj_map = mention_map.select(
+    mention_entity = mentions.select("mention_id", "norm_surface").join(
+        surface_map, "norm_surface", "inner"
+    )
+    subj_map = mention_entity.select(
         F.col("mention_id").alias("subj_mention_id"),
         F.col("entity_id").alias("subj_entity"),
     )
-    obj_map = mention_map.select(
+    obj_map = mention_entity.select(
         F.col("mention_id").alias("obj_mention_id"),
         F.col("entity_id").alias("obj_entity"),
     )
@@ -57,8 +70,11 @@ def aggregate_triples(resolved: DataFrame) -> DataFrame:
     )
 
 
-def run(raw_triples: DataFrame, mention_map: DataFrame) -> DataFrame:
-    """raw_triples ⋈ mention_map -> deterministic triples table."""
-    return aggregate_triples(resolve_triples(raw_triples, mention_map)).sortWithinPartitions(
-        "subj", "pred", "obj"
-    )
+def run(
+    raw_triples: DataFrame, mentions: DataFrame, surface_map: DataFrame
+) -> DataFrame:
+    """raw_triples resolved through mentions ⋈ surface_map ->
+    deterministic triples table."""
+    return aggregate_triples(
+        resolve_triples(raw_triples, mentions, surface_map)
+    ).sortWithinPartitions("subj", "pred", "obj")

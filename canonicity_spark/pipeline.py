@@ -11,6 +11,7 @@ the catalog, skipped on resume if already committed — BASELINE.json:14):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +31,10 @@ class PipelineConf:
     # stop after this stage (for kill/resume tests); None = run all
     stop_after: str | None = None
     stages_run: list[str] = field(default_factory=list)
+    stage_wall: dict[str, float] = field(default_factory=dict)
 
 
-STAGES = ["mentions", "raw_triples", "surface_links", "labels", "mention_map", "triples", "entities"]
+STAGES = ["mentions", "raw_triples", "surface_links", "labels", "surface_map", "triples", "entities"]
 
 
 def run(
@@ -48,21 +50,30 @@ def run(
     def stage(name: str, compute) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
             return cat.read_stage(spark, name)
+        t0 = time.perf_counter()
         df = compute()
         conf.stages_run.append(name)
-        return cat.write_stage(df, name)
+        out = cat.write_stage(df, name)
+        conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
+        return out
 
     def check_stop(name: str):
         if conf.stop_after == name:
             raise _StopAfter(name)
 
+    # P5: widen a narrow scan before the UDF stages (no-op when the
+    # input already has >= cores partitions)
+    docs = extract.ensure_parallelism(docs, "doc_id")
+
     try:
         parsed = None
 
         def _parsed():
+            # the sentence parse feeds both extract stages; persist so
+            # the expensive UDF pass runs once, not once per stage
             nonlocal parsed
             if parsed is None:
-                parsed = extract.parsed_sentences(docs)
+                parsed = extract.parsed_sentences(docs).persist()
             return parsed
 
         mentions = stage("mentions", lambda: extract.extract_mentions(_parsed()))
@@ -73,6 +84,8 @@ def run(
                 extract.extract_media_triples(docs)
             ),
         )
+        if parsed is not None:
+            parsed.unpersist()
         check_stop("raw_triples")
 
         surface_links = stage(
@@ -83,24 +96,26 @@ def run(
         labels = stage(
             "labels",
             lambda: canonicalize.connected_components(
-                canonicalize.build_edges(mentions, surface_links),
+                canonicalize.build_edges(surface_links),
                 max_iter=conf.cc_max_iter,
                 use_salting=conf.use_salting,
             ),
         )
         check_stop("labels")
 
-        mention_map = stage(
-            "mention_map", lambda: canonicalize.mention_entity_map(labels)
+        surface_map = stage(
+            "surface_map", lambda: canonicalize.surface_entity_map(labels)
         )
-        check_stop("mention_map")
+        check_stop("surface_map")
 
-        triples = stage("triples", lambda: materialize.run(raw_triples, mention_map))
+        triples = stage(
+            "triples", lambda: materialize.run(raw_triples, mentions, surface_map)
+        )
         check_stop("triples")
 
         stage(
             "entities",
-            lambda: canonicalize.canonical_entities(mention_map, mentions, entity_pool),
+            lambda: canonicalize.canonical_entities(surface_map, mentions, entity_pool),
         )
         return triples
     except _StopAfter:

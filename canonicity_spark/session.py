@@ -35,6 +35,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timezone for timestamp oracle comparisons.
     "spark.sql.session.timeZone": "UTC",
+    # Split scans finer than the 128MB default: local corpora are a few
+    # hundred MB at most, and UDF-heavy stages need >= cores input
+    # splits to use the machine. On a real cluster with TB-scale inputs
+    # this knob is left at the site default — file count dominates.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
 }
 
 
@@ -57,6 +62,13 @@ def build(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if master and master.startswith("local"):
+        # local mode = driver JVM does all executor work; the 1g default
+        # heap GC-thrashes once tens of task threads run concurrently.
+        # On a cluster spark-submit supplies executor/driver memory.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
     if shuffle_partitions is None:
         # 2x cores locally; AQE coalesces down. On a cluster this is set
         # per-job relative to total executor cores.

@@ -17,12 +17,12 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from canonicity_spark.link import minhash_band_hashes, shingles_col
+from canonicity_spark.link import shingles_col
 
 
 def _dot(a, b):
@@ -81,7 +81,17 @@ def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash64(F.col(text_col)).alias("simhash"))
+    from canonicity_spark.extract import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
+        "doc_id", simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+# Doc-dedup LSH geometry: 16 bands x 8 rows — the S-curve knee sits at
+# jaccard ~0.8 (P(candidate) = 1-(1-j^8)^16: 95% at j=0.8, 6% at j=0.5),
+# so near-dups surface while merely-similar docs don't pair-explode.
+DOC_MINHASH_K, DOC_BANDS, DOC_ROWS = 128, 16, 8
 
 
 def minhash_near_dup_pairs(
@@ -89,39 +99,57 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over document text.
 
-    shingle → minhash → band → bucket self-join (the linker's fused
-    band-hash UDF, word-level 3-shingles via char shingles of the
-    normalized text). Buckets above max_bucket are dropped — at corpus
-    scale a degenerate bucket (empty docs, boilerplate) would produce
-    a quadratic pair explosion; the cap is the skew guard.
-    Returns distinct (doc_a < doc_b) candidate pairs with their
-    n-gram jaccard similarity computed JVM-side.
+    shingle → minhash → band → bucket self-join. Scale shape:
+    - only (doc_id, band_id, band_hash) goes through the self-join
+      shuffle; text is joined back just for the surviving distinct
+      pairs (candidate pairs << banded rows at dedup-tuned geometry).
+    - hot buckets (boilerplate/empty docs) are excluded via a broadcast
+      anti-join on the over-cap bucket list — the quadratic-explosion
+      guard; the excluded list is logged by callers via lineage.
+    Returns distinct (doc_a < doc_b) pairs with exact 5-gram jaccard
+    (JVM-side) for thresholding.
     """
+    from canonicity_spark.link import make_minhash_band_udf
+
+    band_udf = make_minhash_band_udf(DOC_MINHASH_K, DOC_BANDS, DOC_ROWS, shingle_n=5)
+    from canonicity_spark.extract import ensure_parallelism
+
     normed = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
-    banded = (
+    base = ensure_parallelism(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), normed.alias("_t"))
-        .withColumn("_bands", minhash_band_hashes(shingles_col(F.col("_t"), 5)))
-        .select("doc_id", "_t", F.posexplode("_bands").alias("band_id", "band_hash"))
     )
-    w = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("_bsz", F.count("*").over(w)).filter(
-        F.col("_bsz") <= max_bucket
+    banded = base.withColumn("_bands", band_udf(F.col("_t"))).select(
+        "doc_id", F.posexplode("_bands").alias("band_id", "band_hash")
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("_t").alias("text_a"), "band_id", "band_hash"
+    # The banded table feeds three consumers (hot-bucket aggregate and
+    # both sides of the self-join); persist it so the signature UDF runs
+    # once per doc, not three times. At cluster scale this is the stage
+    # you'd checkpoint to the catalog instead.
+    banded = banded.persist()
+    hot = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band_id", "band_hash")
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("_t").alias("text_b"), "band_id", "band_hash"
-    )
+    banded = banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     pairs = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    with_text = pairs.join(
+        base.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("text_a")), "doc_a"
+    ).join(
+        base.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("text_b")), "doc_b"
     )
     s1 = shingles_col(F.col("text_a"), 5)
     s2 = shingles_col(F.col("text_b"), 5)
     jac = F.size(F.array_intersect(s1, s2)) / F.size(F.array_union(s1, s2))
-    return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return with_text.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
 def ngram_jaccard_pairs(

@@ -77,19 +77,31 @@ def test_salting_invariance(spark):
 
 
 def test_component_entity_and_mention_map(spark):
-    pairs = [("m1", "ent:E1"), ("m2", "ent:E1"), ("m3", "ent:new:foo")]
-    labels = canonicalize.connected_components(_edges(spark, pairs))
+    links = spark.createDataFrame(
+        [("acme", "E1", 1.0), ("acme corp", "E1", 0.9), ("zed", "new:zed", 0.0)],
+        ["norm_surface", "entity_id", "score"],
+    )
+    labels = canonicalize.connected_components(canonicalize.build_edges(links))
+    smap = {
+        r.norm_surface: r.entity_id
+        for r in canonicalize.surface_entity_map(labels).collect()
+    }
+    assert smap == {"acme": "E1", "acme corp": "E1", "zed": "new:zed"}
+    mentions = spark.createDataFrame(
+        [("m1", "acme"), ("m2", "acme corp"), ("m3", "zed")],
+        ["mention_id", "norm_surface"],
+    )
     mm = {
         r.mention_id: r.entity_id
-        for r in canonicalize.mention_entity_map(labels).collect()
+        for r in canonicalize.mention_entity_map(mentions, labels).collect()
     }
-    assert mm == {"m1": "E1", "m2": "E1", "m3": "new:foo"}
+    assert mm == {"m1": "E1", "m2": "E1", "m3": "new:zed"}
 
 
 def test_canonical_entities_table(spark):
-    mention_map = spark.createDataFrame(
-        [("m1", "E1"), ("m2", "E1"), ("m3", "E1"), ("m4", "new:zed")],
-        ["mention_id", "entity_id"],
+    surface_map = spark.createDataFrame(
+        [("acme corp", "E1"), ("acme", "E1"), ("zed", "new:zed")],
+        ["norm_surface", "entity_id"],
     )
     mentions = spark.createDataFrame(
         [
@@ -103,7 +115,7 @@ def test_canonical_entities_table(spark):
     pool = spark.createDataFrame([("E1", "acme corp")], ["entity_id", "canonical_name"])
     ents = {
         r.entity_id: r
-        for r in canonicalize.canonical_entities(mention_map, mentions, pool).collect()
+        for r in canonicalize.canonical_entities(surface_map, mentions, pool).collect()
     }
     assert ents["E1"].canonical_name == "acme corp"
     assert ents["E1"].aliases == ["acme", "acme corp"]  # sorted (G8 determinism)

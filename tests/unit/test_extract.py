@@ -49,6 +49,27 @@ def test_segment_sentences_offsets(spark):
     assert out[1].s.s_text == "c acquired d."
 
 
+def test_segment_expr_matches_udf_on_corpus(spark, docs):
+    """The codegen segmenter and the pandas-UDF reference implementation
+    must agree on every fixture span."""
+    texts = (
+        extract.explode_spans(docs)
+        .filter(F.col("kind") == "text")
+        .select("doc_id", "span_idx", "text")
+    )
+    via_udf = texts.select(
+        "doc_id", "span_idx", F.explode(extract.segment_sentences("text")).alias("s")
+    )
+    via_expr = texts.select(
+        "doc_id",
+        "span_idx",
+        F.explode(extract.segment_sentences_expr(F.col("text"))).alias("s"),
+    )
+    from pyspark.testing import assertDataFrameEqual
+
+    assertDataFrameEqual(via_expr, via_udf, checkRowOrder=False)
+
+
 def test_parse_and_mentions(spark):
     docs = _mk_docs(
         spark,

@@ -42,7 +42,7 @@ def test_kill_and_resume_byte_identical(spark, docs, alias_dict, tmp_path):
     # run 2: resume — must only compute the remaining stages
     c2 = pipeline.PipelineConf(work_dir=wd_killed)
     t_resumed = pipeline.run(spark, docs, alias_dict, c2)
-    assert c2.stages_run == ["labels", "mention_map", "triples", "entities"]
+    assert c2.stages_run == ["labels", "surface_map", "triples", "entities"]
 
     # uninterrupted run for comparison
     c3 = pipeline.PipelineConf(work_dir=wd_clean)
