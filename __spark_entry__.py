@@ -122,7 +122,7 @@ def q_kg_pipeline(spark, sf):
     mentions = mentions.persist()
     links = link.run(mentions, _empty_alias_dict(spark))
     _labels, surface_map = canonicalize.run(links)
-    return materialize.run(raw_triples, mentions, surface_map)
+    return materialize.run(raw_triples, surface_map)
 
 
 # -- relational surface (§2.G) ----------------------------------------------

@@ -13,6 +13,7 @@ entropy. Deterministic across runs and parallelism levels.
 
 from __future__ import annotations
 
+import os
 import random
 from dataclasses import dataclass, field
 
@@ -177,13 +178,16 @@ def generate(
     n_entities: int = 200,
     seed: int = 42,
     misspell_rate: float = 0.15,
+    doc_id_offset: int = 0,
 ) -> dict[str, str]:
     """Write documents/alias_dict/entity_pool/golden_* parquet to out_dir.
 
     Returns {table_name: path}.
     """
-    rng = random.Random(seed)
-    ents = _make_entities(rng, n_entities)
+    # entity pool depends ONLY on seed (identical across parallel
+    # chunks); the document stream is keyed by (seed, doc_id_offset)
+    ents = _make_entities(random.Random(seed), n_entities)
+    rng = random.Random(f"{seed}:{doc_id_offset}")
     weights = [e.weight for e in ents]
     preds = sorted(PREDICATES)
 
@@ -200,7 +204,7 @@ def generate(
         return _case_variant(rng, rng.choice(e.dict_aliases))
 
     for d in range(n_docs):
-        doc_id = f"D{d:06d}"
+        doc_id = f"D{d + doc_id_offset:08d}"
         n_text = rng.randint(1, 8)
         n_media = rng.randint(0, 3)
         # interleave: positions of media spans among the text spans
@@ -314,9 +318,83 @@ def generate(
     return paths
 
 
+def _gen_chunk(args: tuple) -> str:
+    out_dir, chunk_id, n_docs, offset, n_entities, seed, misspell_rate = args
+    chunk_dir = os.path.join(out_dir, f"_chunk{chunk_id:04d}")
+    generate(
+        chunk_dir,
+        n_docs=n_docs,
+        n_entities=n_entities,
+        seed=seed,
+        misspell_rate=misspell_rate,
+        doc_id_offset=offset,
+    )
+    return chunk_dir
+
+
+def generate_parallel(
+    out_dir: str,
+    n_docs: int,
+    n_entities: int = 200,
+    seed: int = 42,
+    misspell_rate: float = 0.15,
+    workers: int = 8,
+    chunk_docs: int = 250_000,
+) -> dict[str, str]:
+    """Chunked multi-process corpus generation for bench-scale corpora.
+
+    Deterministic: chunk i uses seed ``seed + i`` and doc ids offset by
+    ``i * chunk_docs``; the entity pool (seed-derived) is identical in
+    every chunk, so alias_dict/entity_pool are taken from chunk 0 and
+    documents/golden tables are concatenated as multi-file parquet
+    directories (Spark reads directories natively).
+    """
+    import multiprocessing as mp
+    import shutil
+
+    n_chunks = (n_docs + chunk_docs - 1) // chunk_docs
+    if n_chunks <= 1:
+        return generate(out_dir, n_docs, n_entities, seed, misspell_rate)
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [
+        (
+            out_dir,
+            i,
+            min(chunk_docs, n_docs - i * chunk_docs),
+            i * chunk_docs,
+            n_entities,
+            seed,
+            misspell_rate,
+        )
+        for i in range(n_chunks)
+    ]
+    with mp.Pool(min(workers, n_chunks)) as pool:
+        chunk_dirs = pool.map(_gen_chunk, jobs)
+
+    paths: dict[str, str] = {}
+    for name in ("documents", "golden_triples", "golden_clusters"):
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        os.makedirs(dest, exist_ok=True)
+        for i, cd in enumerate(chunk_dirs):
+            os.rename(
+                os.path.join(cd, f"{name}.parquet"),
+                os.path.join(dest, f"part-{i:04d}.parquet"),
+            )
+        paths[name] = dest
+    for name in ("alias_dict", "entity_pool"):
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dest):
+            os.remove(dest)
+        os.rename(os.path.join(chunk_dirs[0], f"{name}.parquet"), dest)
+        paths[name] = dest
+    for cd in chunk_dirs:
+        shutil.rmtree(cd, ignore_errors=True)
+    return paths
+
+
 if __name__ == "__main__":
     import sys
 
     out = sys.argv[1] if len(sys.argv) > 1 else "BENCH/data/tiny"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    print(generate(out, n_docs=n))
+    print(generate_parallel(out, n_docs=n))

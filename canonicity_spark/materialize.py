@@ -22,36 +22,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_triples(
-    raw_triples: DataFrame, mentions: DataFrame, surface_map: DataFrame
-) -> DataFrame:
-    """M1 — rewrite subject/object mention ids to canonical entity ids.
+def resolve_triples(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame:
+    """M1 — rewrite subject/object surfaces to canonical entity ids.
 
-    The mention→entity mapping is composed lazily from the mentions
-    table (mention_id → norm_surface, column-pruned scan) and the
-    vocabulary-sized surface→entity map — it is never materialized at
-    mention scale. The surface-map join is broadcastable whenever the
-    vocabulary fits (the optimizer/AQE decides); the two mention-id
-    joins are the only mention-scale shuffles in the stage, on evenly
-    distributed content-hash keys.
+    raw_triples carry the normalized surface of each endpoint (written
+    at extract time from the same parsed sentence row), so resolution
+    is two joins against the *vocabulary-sized* surface→entity map —
+    never a mention-scale join. The map is orders of magnitude smaller
+    than the triples; Spark broadcasts it when it fits the threshold
+    and falls back to a shuffle join (AQE skew-aware) when a web-scale
+    vocabulary doesn't.
 
-    Subjects/objects without a mention id keep their literal
-    (media-span doc subjects, year/count objects).
+    Subjects/objects without a surface keep their literal (media-span
+    doc subjects, year/count objects).
     """
-    mention_entity = mentions.select("mention_id", "norm_surface").join(
-        surface_map, "norm_surface", "inner"
-    )
-    subj_map = mention_entity.select(
-        F.col("mention_id").alias("subj_mention_id"),
+    subj_map = surface_map.select(
+        F.col("norm_surface").alias("subj_norm_surface"),
         F.col("entity_id").alias("subj_entity"),
     )
-    obj_map = mention_entity.select(
-        F.col("mention_id").alias("obj_mention_id"),
+    obj_map = surface_map.select(
+        F.col("norm_surface").alias("obj_norm_surface"),
         F.col("entity_id").alias("obj_entity"),
     )
     return (
-        raw_triples.join(subj_map, "subj_mention_id", "left")
-        .join(obj_map, "obj_mention_id", "left")
+        raw_triples.join(subj_map, "subj_norm_surface", "left")
+        .join(obj_map, "obj_norm_surface", "left")
         .select(
             "doc_id",
             F.coalesce("subj_entity", "subj_literal").alias("subj"),
@@ -70,11 +65,8 @@ def aggregate_triples(resolved: DataFrame) -> DataFrame:
     )
 
 
-def run(
-    raw_triples: DataFrame, mentions: DataFrame, surface_map: DataFrame
-) -> DataFrame:
-    """raw_triples resolved through mentions ⋈ surface_map ->
-    deterministic triples table."""
+def run(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame:
+    """raw_triples ⋈ surface_map -> deterministic triples table."""
     return aggregate_triples(
-        resolve_triples(raw_triples, mentions, surface_map)
+        resolve_triples(raw_triples, surface_map)
     ).sortWithinPartitions("subj", "pred", "obj")

@@ -66,26 +66,21 @@ def run(
     docs = extract.ensure_parallelism(docs, "doc_id")
 
     try:
-        parsed = None
+        # the parse is recomputed per extract stage on purpose: the
+        # fused Arrow parse (extract._parse_span_batches) is cheaper to
+        # re-run than to cache — persisting ~2 rows/doc of parsed
+        # sentences is memory-bandwidth/GC-bound and measured slower at
+        # every parallelism level than a second columnar pass.
+        parsed = extract.parsed_sentences(docs)
 
-        def _parsed():
-            # the sentence parse feeds both extract stages; persist so
-            # the expensive UDF pass runs once, not once per stage
-            nonlocal parsed
-            if parsed is None:
-                parsed = extract.parsed_sentences(docs).persist()
-            return parsed
-
-        mentions = stage("mentions", lambda: extract.extract_mentions(_parsed()))
+        mentions = stage("mentions", lambda: extract.extract_mentions(parsed))
         check_stop("mentions")
         raw_triples = stage(
             "raw_triples",
-            lambda: extract.extract_text_triples(_parsed()).unionByName(
+            lambda: extract.extract_text_triples(parsed).unionByName(
                 extract.extract_media_triples(docs)
             ),
         )
-        if parsed is not None:
-            parsed.unpersist()
         check_stop("raw_triples")
 
         surface_links = stage(
@@ -109,7 +104,7 @@ def run(
         check_stop("surface_map")
 
         triples = stage(
-            "triples", lambda: materialize.run(raw_triples, mentions, surface_map)
+            "triples", lambda: materialize.run(raw_triples, surface_map)
         )
         check_stop("triples")
 

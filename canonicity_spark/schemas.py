@@ -75,9 +75,15 @@ RAW_TRIPLES = StructType(
         StructField("doc_id", StringType()),
         StructField("triple_id", StringType()),
         StructField("subj_mention_id", StringType()),
+        # normalized surfaces carried from the parse (subject and object
+        # come from the same sentence row, so these are free at extract
+        # time and make M1 resolution a vocabulary-sized join instead of
+        # a mention-scale one)
+        StructField("subj_norm_surface", StringType()),
         StructField("subj_literal", StringType()),   # e.g. 'doc:<id>' for media triples
         StructField("pred", StringType()),
         StructField("obj_mention_id", StringType()),
+        StructField("obj_norm_surface", StringType()),
         StructField("obj_literal", StringType()),
         StructField("conf", DoubleType()),
     ]

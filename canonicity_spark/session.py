@@ -19,6 +19,11 @@ DEFAULT_CONF: dict[str, str] = {
     # skewed join partitions. Free wins at every scale.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst (default true) keeps shuffle partitions tiny "for
+    # parallelism", defeating coalescing; the pipeline has many
+    # vocabulary-scale shuffles where 64 near-empty tasks cost more than
+    # the work — let AQE actually coalesce to the advisory size.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow path for every pandas UDF (BASELINE.json:15 mandates
     # vectorized UDFs; this is the JVM<->Python batch transport).
@@ -35,12 +40,42 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timezone for timestamp oracle comparisons.
     "spark.sql.session.timeZone": "UTC",
+    # zstd over snappy: ~2x smaller stage tables. Storage bytes are the
+    # scarce serial resource (disk/network); compression CPU is the
+    # abundant parallel one — at 100 TB this is also just the right
+    # codec for data at rest.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Split scans finer than the 128MB default: local corpora are a few
     # hundred MB at most, and UDF-heavy stages need >= cores input
     # splits to use the machine. On a real cluster with TB-scale inputs
     # this knob is left at the site default — file count dominates.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
 }
+
+
+def _cap_local_threads(master: str | None) -> str | None:
+    """Local mode only: never run executor threads on every host core.
+
+    Measured on this 32-vCPU host: a pandas-UDF stage takes 12s at
+    local[24]/local[28] but 35-75s at local[32] — with all vCPUs taken
+    by task threads, the Python UDF workers, the JVM's Arrow-pump /
+    shuffle / GC threads, and the scheduler starve each other. A real
+    cluster never gives one executor every core of a host for the same
+    reason; this applies that sizing rule to local mode. Disable with
+    SPARK_GRAFT_LOCAL_CORE_CAP=0.
+    """
+    if not master or not master.startswith("local[") or master == "local[*]":
+        return master
+    if os.environ.get("SPARK_GRAFT_LOCAL_CORE_CAP", "1") == "0":
+        return master
+    try:
+        k = int(master.split("[")[1].rstrip("]"))
+    except ValueError:
+        return master
+    ncpu = os.cpu_count() or 32
+    if k >= ncpu and ncpu > 8:
+        return f"local[{ncpu - 4}]"
+    return master
 
 
 def build(
@@ -56,9 +91,10 @@ def build(
     never override it.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_GRAFT_CPUS" in os.environ or master is None:
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    master = _cap_local_threads(master)
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
@@ -66,8 +102,11 @@ def build(
         # local mode = driver JVM does all executor work; the 1g default
         # heap GC-thrashes once tens of task threads run concurrently.
         # On a cluster spark-submit supplies executor/driver memory.
+        # 16g, not bigger: G1 on very large heaps (32g+) showed longer
+        # write-stage walls here (bigger young-gen pauses); 8-16g was
+        # consistently fastest for this workload's churn profile.
         conf.setdefault(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
     if shuffle_partitions is None:
         # 2x cores locally; AQE coalesces down. On a cluster this is set
