@@ -429,6 +429,82 @@ def q_u4_centroid_norm(spark, sf):
     )
 
 
+def q_ann_cosine_pairs_exact(spark, sf):
+    """Brute-force embedding near-dup baseline (exact, oracle-checked)."""
+    return similarity.cosine_pairs_exact(
+        _t(spark, sf, "embeddings"), threshold=0.45
+    )
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF-bucketed approximate top-k (scale path; recall vs brute force
+    asserted in tests/unit/test_similarity.py — no SQL oracle since the
+    result is approximate by design)."""
+    return similarity.ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_dd_embedding_near_dup(spark, sf):
+    """Sign-LSH bucketed embedding near-dup pairs (rows-only check)."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.45
+    )
+
+
+def q_l1_link_exact(spark, sf):
+    """The linker's full surface path (L1 broadcast alias join + L7
+    top-1 tie-break) over customer names as both mentions and dictionary."""
+    c = _t(spark, sf, "customer")
+    mentions = c.select(F.lower("c_name").alias("norm_surface"))
+    alias_dict = c.select(
+        F.col("c_name").alias("alias"),
+        F.concat(F.lit("C"), F.lpad(F.col("c_custkey").cast("string"), 8, "0")).alias(
+            "entity_id"
+        ),
+        F.lit(1.0).alias("prior"),
+    )
+    return link.link_surfaces(mentions, alias_dict).select(
+        "norm_surface", "entity_id", "score", "rank", "gen_source"
+    )
+
+
+def q_g3_cc_star(spark, sf):
+    """Connected components over the customer-order bipartite graph
+    (star components; label = min zero-padded node id — SQL-expressible,
+    so the iterative CC operator gets a real DuckDB oracle)."""
+    from canonicity_spark import canonicalize
+
+    o = _t(spark, sf, "orders")
+    node_c = F.concat(F.lpad(F.col("o_custkey").cast("string"), 8, "0"), F.lit("c"))
+    node_o = F.concat(F.lpad(F.col("o_orderkey").cast("string"), 8, "0"), F.lit("o"))
+    edges = o.select(
+        node_c.alias("src"), node_o.alias("dst"),
+        F.lit(1.0).alias("w"), F.lit("t").alias("etype"),
+    )
+    return canonicalize.connected_components(edges)
+
+
+def q_g6_salted_min(spark, sf):
+    """Two-phase salted min aggregation (skew-safe) == plain GROUP BY min."""
+    from canonicity_spark.canonicalize import _salted_min
+
+    l = _t(spark, sf, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").alias("price")
+    )
+    out = _salted_min(l, "l_orderkey", "price", n_salts=16)
+    return out.select("l_orderkey", F.round("price", 2).alias("min_price"))
+
+
+def q_mm_media_features(spark, sf):
+    """Multimodal plumbing: media spans -> binary payloads -> mapInPandas
+    decode/feature stub (rows-only; payload bytes use xxhash64 which has
+    no DuckDB twin)."""
+    from canonicity_spark import media
+
+    docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
+    payloads = media.fetch_payloads(extract.explode_spans(docs))
+    return media.decode_features(payloads)
+
+
 def q_dd_minhash_pairs(spark, sf):
     """MinHash-LSH near-dup candidates (no SQL oracle — rows-only check)."""
     return similarity.minhash_near_dup_pairs(_t(spark, sf, "documents"))
@@ -484,9 +560,18 @@ def queries() -> dict[str, Q]:
         "dd_exact_dedup": q_dd_exact_dedup,
         "dd_exact_text_dupes": q_dd_exact_text_dupes,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_pairs_exact": q_ann_cosine_pairs_exact,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "u4_centroid_norm": q_u4_centroid_norm,
         "dd_minhash_pairs": q_dd_minhash_pairs,
         "dd_simhash": q_dd_simhash,
+        # pipeline operators with relational twins
+        "l1_link_exact": q_l1_link_exact,
+        "g3_cc_star": q_g3_cc_star,
+        "g6_salted_min": q_g6_salted_min,
+        # multimodal plumbing
+        "mm_media_features": q_mm_media_features,
     }
 
 
@@ -732,7 +817,44 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY label
         """,
-        # dd_minhash_pairs / dd_simhash intentionally omitted:
-        # MinHash banding and SimHash are not SQL-expressible; the driver
-        # records the weaker rows-only check for them.
+        "ann_cosine_pairs_exact": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS cosine_sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        """,
+        "l1_link_exact": """
+            SELECT lower(c_name) AS norm_surface,
+                   min('C' || lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS entity_id,
+                   1.0 AS score, 1 AS rank, 'alias' AS gen_source
+            FROM customer GROUP BY lower(c_name)
+        """,
+        "g3_cc_star": """
+            WITH lab AS (
+                SELECT o_custkey,
+                       least(lpad(CAST(o_custkey AS VARCHAR), 8, '0') || 'c',
+                             min(lpad(CAST(o_orderkey AS VARCHAR), 8, '0') || 'o')) AS label
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT lpad(CAST(o_orderkey AS VARCHAR), 8, '0') || 'o' AS node, lab.label
+            FROM orders JOIN lab USING (o_custkey)
+            UNION ALL
+            SELECT lpad(CAST(o_custkey AS VARCHAR), 8, '0') || 'c' AS node, label FROM lab
+        """,
+        "g6_salted_min": """
+            SELECT l_orderkey, round(min(l_extendedprice), 2) AS min_price
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        # dd_minhash_pairs / dd_simhash / dd_embedding_near_dup /
+        # ann_ivf_topk / mm_media_features intentionally omitted:
+        # MinHash banding, SimHash, sign-LSH bucketing, IVF probing and
+        # the xxhash64-derived media payloads are not SQL-expressible
+        # (or approximate by design); the driver records the weaker
+        # rows-only check, and tests/unit pin their behavior (IVF recall
+        # vs brute force, LSH recall on planted near-dups).
     }

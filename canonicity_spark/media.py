@@ -1,0 +1,140 @@
+"""Multimodal column operators (interleaved media spans at scale).
+
+Media payloads are opaque ``binary`` columns with typed metadata
+(BASELINE.json:15 interleaved media spans carry ``media_ref`` URIs; a
+real corpus resolves those to bytes). The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — is real and tested;
+the codec step itself is STUBBED with a deterministic fake because no
+image/audio library ships in this container (clearly marked below; on
+a real cluster replace ``_decode_stub`` with PIL/ffmpeg calls — the
+dataflow does not change).
+
+Scale notes:
+- decode/feature-extract runs in ``mapInPandas`` so one Arrow batch of
+  binary payloads is decoded per Python call (no per-row overhead) and
+  rows can be dropped/expanded (corrupt payloads, frame sampling).
+- media bytes never pass through a shuffle: fetch → decode → feature
+  happens in one narrow chain; only the small feature vectors continue.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id string, media_ref string, kind string, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, kind string, n_bytes int, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+def fetch_payloads(docs_spans: DataFrame) -> DataFrame:
+    """media spans -> (doc_id, media_ref, kind, payload:binary).
+
+    STUB: a real deployment replaces the deterministic synthetic bytes
+    with an object-store fetch (s3/hdfs open by media_ref). Payload
+    bytes are a pure function of media_ref so tests are reproducible.
+    """
+    media = docs_spans.filter(F.col("kind") != "text")
+    # deterministic fake payload: repeat of xxhash64(media_ref) bytes
+    seed = F.xxhash64("media_ref")
+    return media.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        F.substring(
+            F.repeat(F.unhex(F.lpad(F.hex(F.abs(seed)), 16, "0")), 32), 1, 256
+        ).cast("binary").alias("payload"),
+    )
+
+
+def _decode_stub(kind: str, payload: bytes) -> dict:
+    """STUB for the codec step (no PIL/ffmpeg in this container).
+
+    Deterministic fake decode: dimensions and frame counts derived from
+    the payload bytes; replace with a real decoder on a cluster —
+    NotImplementedError paths mark what a real codec must fill in.
+    """
+    if payload is None:
+        raise NotImplementedError("payload fetch failed — real fetcher required")
+    h = zlib.crc32(payload)
+    if kind == "image":
+        return {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024, "n_frames": 1}
+    if kind == "video":
+        return {"width": 320, "height": 240, "n_frames": 1 + h % 300}
+    raise NotImplementedError(f"unsupported media kind: {kind}")
+
+
+def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    Emits one row per decodable payload (corrupt rows are dropped, not
+    failed — at 10^12 scale a bad payload must never kill a stage).
+    The 'feature' is a deterministic byte-histogram sketch standing in
+    for a real embedding model.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, ref, kind, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    meta = _decode_stub(kind, payload)
+                except NotImplementedError:
+                    continue  # drop undecodable rows
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(buf % feature_dim, minlength=feature_dim)
+                feat = (hist / max(1, len(buf))).astype(np.float32)
+                rows.append(
+                    (
+                        doc_id,
+                        ref,
+                        kind,
+                        len(payload),
+                        meta["width"],
+                        meta["height"],
+                        meta["n_frames"],
+                        feat.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "kind", "n_bytes",
+                    "width", "height", "n_frames", "feature",
+                ],
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(features: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Frame sampling plan for videos: one row per sampled frame index.
+
+    Pure column expressions (sequence + explode) — the expensive frame
+    DECODE would happen in a downstream mapInPandas per sampled index;
+    the plan-side sampling keeps the fan-out explicit and bounded.
+    """
+    return (
+        features.filter(F.col("kind") == "video")
+        .select(
+            "doc_id",
+            "media_ref",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_nth)
+                )
+            ).alias("frame_idx"),
+        )
+    )

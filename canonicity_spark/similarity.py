@@ -152,6 +152,150 @@ def minhash_near_dup_pairs(
     return with_text.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
+def cosine_pairs_exact(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact embedding near-dup pairs — the brute-force baseline.
+
+    All-pairs cosine via a self cross-join. Correctness baseline only:
+    quadratic, so at scale it runs on a *bucket* (after LSH blocking),
+    never on the full corpus. Deterministic (vec_id_a < vec_id_b).
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    dot = _dot(F.col("emb_a"), F.col("emb_b"))
+    n1 = F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+    n2 = F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.round(dot / (n1 * n2), 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def _hyperplane_buckets_udf(n_bands: int, band_bits: int, dim: int, seed: int = 42):
+    """Random-hyperplane (sign) LSH for vectors: one bucket hash per
+    band of ``band_bits`` hyperplanes. Vectorized numpy matmul per
+    Arrow batch; planes derive from the seed, so bucketing is
+    deterministic across executors."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(returnType=ArrayType(LongType()))
+    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((dim, n_bands * band_bits))
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        for embs in batches:
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            bits = (mat @ planes) > 0
+            bands = bits.reshape(len(embs), n_bands, band_bits)
+            hashes = (bands * weights[None, None, :]).sum(axis=2)
+            # prefix each band hash with the band id to keep buckets disjoint
+            hashes = hashes + (np.arange(n_bands, dtype=np.int64)[None, :] << band_bits)
+            yield pd.Series(list(hashes))
+
+    return buckets
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    dim: int = 64,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: random-hyperplane LSH
+    bucket self-join, then exact cosine verification of candidates.
+
+    The scale path for ``cosine_pairs_exact``: only vectors sharing a
+    sign-LSH band bucket are paired (P(bit match) = 1 - angle/pi, so a
+    cos≥0.9 pair collides in ≥1 of 8 bands w.p. ~0.99), and hot buckets
+    are excluded via the same broadcast anti-join guard as the text
+    dedup. Exact cosine on the candidates makes the output precise; the
+    LSH stage only affects recall.
+    """
+    udf = _hyperplane_buckets_udf(n_bands, band_bits, dim)
+    banded = embeddings.select(
+        "vec_id", "embedding", F.explode(udf(F.col("embedding"))).alias("bucket")
+    )
+    hot = (
+        banded.groupBy("bucket")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("bucket")
+    )
+    banded = banded.join(F.broadcast(hot), "bucket", "left_anti").persist()
+    a = banded.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    dot = _dot(F.col("emb_a"), F.col("emb_b"))
+    n1 = F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+    n2 = F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    return cands.select(
+        "vec_id_a", "vec_id_b", F.round(dot / (n1 * n2), 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize into cells, probe
+    only the ``n_probe`` cells nearest to the query, brute-force within.
+
+    Centroids here are a deterministic sample (the ``n_centroids``
+    lowest vec_ids) — at scale you'd k-means them offline; the query
+    plan is the same either way. Scan cost drops by ~n_probe/n_centroids
+    versus brute force; recall is tested against the exact baseline in
+    tests/unit/test_similarity.py.
+    """
+    cents = embeddings.orderBy("vec_id").limit(n_centroids).collect()
+    cent_mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in cents])
+    cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(returnType=IntegerType())
+    def cell_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in batches:
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.Series((mat @ cent_mat.T).argmax(axis=1).astype("int32"))
+
+    assigned = embeddings.withColumn("cell", cell_of(F.col("embedding")))
+    q = assigned.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    qv = np.array(q["embedding"], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    probe_cells = [int(c) for c in (cent_mat @ qv).argsort()[::-1][:n_probe]]
+
+    probed = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
+    )
+    q_df = probed.sparkSession.createDataFrame(
+        [(q["embedding"],)], "q_emb array<float>"
+    )
+    joined = probed.crossJoin(F.broadcast(q_df))
+    dot = _dot(F.col("embedding"), F.col("q_emb"))
+    n1 = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    n2 = F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+    return (
+        joined.select("vec_id", F.round(dot / (n1 * n2), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:

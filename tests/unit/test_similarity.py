@@ -1,0 +1,114 @@
+"""Similarity / dedup / multimodal operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from canonicity_spark import media, similarity
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((80, 64)).astype("float32")
+    rows = [(i, base[i].tolist(), i % 4) for i in range(80)]
+    # plant near-duplicates: vectors 100.. are tiny perturbations of 0..9
+    for i in range(10):
+        noisy = base[i] + 0.02 * rng.standard_normal(64).astype("float32")
+        rows.append((100 + i, noisy.tolist(), i % 4))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    got = similarity.cosine_topk(embeddings, query_vec_id=0, k=5).collect()
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in embeddings.collect()}
+    q = rows[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in rows.items()
+        if vid != 0
+    }
+    want = sorted(sims, key=lambda k: (-round(sims[k], 6), k))[:5]
+    assert [r.vec_id for r in got] == want
+    assert got[0].vec_id == 100  # the planted near-dup of vector 0
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark, embeddings):
+    pairs = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            embeddings, threshold=0.9
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    # sign-LSH recall on cos>=0.99 pairs should be essentially total
+    assert planted <= pairs
+    # and exact verification keeps precision: nothing below threshold
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.cosine_pairs_exact(embeddings, threshold=0.9).collect()
+    }
+    assert pairs <= exact
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    exact = [r.vec_id for r in similarity.cosine_topk(embeddings, 0, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            embeddings, 0, k=10, n_centroids=8, n_probe=4
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+    # the planted duplicate shares the query's cell -> must be found
+    assert approx[0] == 100
+
+
+def test_simhash_near_dup_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.simhash for r in similarity.simhash_docs(docs).collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+    assert ham(got[1], got[2]) <= 16
+
+
+def test_media_plumbing(spark, docs):
+    from canonicity_spark import extract
+
+    spans = extract.explode_spans(docs)
+    payloads = media.fetch_payloads(spans)
+    n_media = spans.filter(F.col("kind") != "text").count()
+    assert payloads.count() == n_media
+    feats = media.decode_features(payloads)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    for r in rows[:5]:
+        assert r.n_bytes == 256
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-3
+        assert (r.kind == "image") == (r.n_frames == 1)
+    # deterministic across runs
+    again = {(r.media_ref): r.feature for r in media.decode_features(payloads).collect()}
+    assert all(again[r.media_ref] == r.feature for r in rows)
+    # frame sampling plan: one row per sampled frame, bounded by n_frames
+    frames = media.sample_frames(feats, every_nth=30)
+    fmap = {r.media_ref: r.n_frames for r in rows if r.kind == "video"}
+    per_ref = frames.groupBy("media_ref").count().collect()
+    for r in per_ref:
+        expected = (fmap[r.media_ref] - 1) // 30 + 1
+        assert r["count"] == expected
