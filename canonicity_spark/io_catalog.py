@@ -75,16 +75,29 @@ class ParquetCatalog:
         """Write stage output + manifest; returns the re-read DataFrame
         (reading back decouples downstream stages from the upstream
         plan — same effect as a reliable checkpoint)."""
+        from canonicity_spark import metrics
+
         path = self._dir(name)
-        df.write.mode("overwrite").parquet(path)
+        # S7: in-flight row counter piggybacks on the write action
+        # (zero extra jobs); the footer sum cross-checks it below —
+        # a mismatch means a partial/corrupt write and must not commit.
+        df_obs, obs = metrics.observed(df, f"{name}-{self.run_id}-{uuid.uuid4().hex[:6]}")
+        df_obs.write.mode("overwrite").parquet(path)
+        observed_rows = obs.get["rows"]
         spark = df.sparkSession
         written = spark.read.parquet(path)
         lineage = _partition_lineage(path)
+        rows_out = sum(p["rows_out"] for p in lineage)
+        if rows_out != observed_rows:
+            raise RuntimeError(
+                f"stage {name}: wrote {rows_out} rows but observed "
+                f"{observed_rows} in-flight — refusing to commit"
+            )
         manifest = {
             "stage": name,
             "run_id": self.run_id,
             "rows_in": rows_in,
-            "rows_out": sum(p["rows_out"] for p in lineage),
+            "rows_out": rows_out,
             "partitions": lineage,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
