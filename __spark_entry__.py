@@ -127,6 +127,35 @@ def q_kg_pipeline(spark, sf):
 
 # -- relational surface (§2.G) ----------------------------------------------
 
+def q_s1_scan(spark, sf):
+    """S1 — plain document scan (rows + schema parity)."""
+    return _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+def q_p4_threshold(spark, sf):
+    """P4 — confidence-style threshold predicate."""
+    o = _t(spark, sf, "orders")
+    return o.filter(F.col("o_totalprice") >= 150000).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+def q_l8_nil_routing(spark, sf):
+    """L8 — surfaces with no dictionary support become shared
+    proto-entities (new:<surface>); dictionary = customer names, probe
+    surfaces = part types (no overlap, scores below tau)."""
+    c, p = _t(spark, sf, "customer"), _t(spark, sf, "part")
+    mentions = p.select(F.lower("p_type").alias("norm_surface"))
+    alias_dict = c.select(
+        F.col("c_name").alias("alias"),
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("entity_id"),
+        F.lit(1.0).alias("prior"),
+    )
+    return link.link_surfaces(mentions, alias_dict).select(
+        "norm_surface", "entity_id", "gen_source"
+    )
+
+
 def q_r1_join_broadcast(spark, sf):
     c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
     return (
@@ -518,6 +547,9 @@ def q_dd_simhash(spark, sf):
 def queries() -> dict[str, Q]:
     return {
         # pipeline operators
+        "s1_scan": q_s1_scan,
+        "p4_threshold": q_p4_threshold,
+        "l8_nil_routing": q_l8_nil_routing,
         "s3_span_explode": q_s3_span_explode,
         "s6_span_roundtrip": q_s6_span_roundtrip,
         "p2_kind_filter": q_p2_kind_filter,
@@ -577,6 +609,19 @@ def queries() -> dict[str, Q]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "s1_scan": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "p4_threshold": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders WHERE o_totalprice >= 150000
+        """,
+        "l8_nil_routing": """
+            SELECT DISTINCT lower(p_type) AS norm_surface,
+                   'new:' || lower(p_type) AS entity_id,
+                   'nil' AS gen_source
+            FROM part
+        """,
         "s3_span_explode": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS span_idx, 'text' AS kind,
                    text, CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_offset

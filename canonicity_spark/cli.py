@@ -77,6 +77,8 @@ def main(argv: list[str] | None = None) -> None:
     n_triples = triples.count()
     wall = time.perf_counter() - t0
 
+    from canonicity_spark import metrics
+
     print(
         json.dumps(
             {
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None) -> None:
                 "docs_per_sec": round(n_docs / wall, 1),
                 "stages_run": conf.stages_run,
                 "stage_wall": conf.stage_wall,
+                **metrics.throughput_report(conf.stage_wall, n_docs),
                 "master": args.master or "submit-provided",
             }
         )

@@ -117,6 +117,36 @@ def test_media_triples(spark):
     assert [r.obj_literal for r in rows] == ["media://d1/0", "media://d1/1"]
 
 
+def test_unicode_text_roundtrip_and_parse(spark):
+    """Non-ASCII surfaces: offsets are char-based (utf8), hashing is
+    byte-based — both must survive multi-byte text."""
+    docs = _mk_docs(
+        spark,
+        [
+            (
+                "u1",
+                [
+                    ("text", "Müller Gmbh works for Žünder Aß. Žünder Aß employs 42.", None, 0),
+                    ("image", None, "media://u1/0", 60),
+                ],
+            )
+        ],
+    )
+    parsed = extract.parsed_sentences(docs)
+    rows = {r.pred: r for r in parsed.collect()}
+    assert rows["works_for"].subj_surface == "Müller Gmbh"
+    assert rows["works_for"].obj_surface == "Žünder Aß"
+    # second sentence: char-based (not byte-based) offset
+    assert rows["employs"].sent_begin == len("Müller Gmbh works for Žünder Aß. ")
+    m = extract.extract_mentions(parsed)
+    surfaces = {r.norm_surface for r in m.collect()}
+    assert "žünder aß" in surfaces
+    back = extract.reassemble_spans(extract.explode_spans(docs))
+    from pyspark.testing import assertDataFrameEqual
+
+    assertDataFrameEqual(back, docs, checkRowOrder=False)
+
+
 def test_mention_ids_deterministic_across_partitioning(spark, docs):
     m1 = extract.extract_mentions(extract.parsed_sentences(docs))
     m2 = extract.extract_mentions(
