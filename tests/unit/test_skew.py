@@ -1,0 +1,45 @@
+"""Skew-handling equivalence tests (SURVEY.md §2 G6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canonicity_spark import skew
+
+
+def _skewed(spark):
+    # key 'hot' holds 90% of rows, plus a long tail
+    rows = [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)]
+    big = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"S{i}") for i in range(50)], ["k", "name"]
+    )
+    return big, small
+
+
+def test_hot_key_join_inner_equivalent(spark):
+    big, small = _skewed(spark)
+    plain = big.join(small, "k", "inner")
+    robust = skew.hot_key_join(big, small, "k", "inner", threshold=100)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, robust.collect()))
+
+
+def test_hot_key_join_left_equivalent(spark):
+    big, small = _skewed(spark)
+    plain = big.join(small, "k", "left")
+    robust = skew.hot_key_join(big, small, "k", "left", threshold=100)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, robust.collect()))
+
+
+def test_hot_slice_actually_broadcasts(spark):
+    big, small = _skewed(spark)
+    plan = skew.hot_key_join(big, small, "k", "inner", threshold=100)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_hot_keys_degenerates_cleanly(spark):
+    big = spark.createDataFrame([(f"k{i}", i) for i in range(100)], ["k", "v"])
+    small = spark.createDataFrame([(f"k{i}", f"S{i}") for i in range(100)], ["k", "n"])
+    plain = big.join(small, "k", "inner")
+    robust = skew.hot_key_join(big, small, "k", "inner", threshold=1000)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, robust.collect()))
