@@ -337,24 +337,39 @@ def parsed_sentences(docs: DataFrame) -> DataFrame:
 
 
 def extract_mentions(parsed: DataFrame) -> DataFrame:
-    """Mentions table (SURVEY.md §1.3): subject + non-literal object mentions."""
-    subj = parsed.select(
-        "doc_id",
-        "span_idx",
-        "sent_id",
+    """Mentions table (SURVEY.md §1.3): subject + non-literal object mentions.
+
+    Subject and object mentions explode out of ONE array built per
+    parsed row — a union of two branches would re-run the upstream
+    Arrow parse once per branch (the parse is recomputed, not cached;
+    see pipeline.run).
+    """
+    subj = F.struct(
         F.col("subj_surface").alias("surface"),
         (F.col("sent_begin") + F.col("subj_begin")).alias("begin"),
-        F.col("s_text").alias("context"),
     )
-    obj = parsed.filter(F.col("obj_is_literal") == 0).select(
+    obj = F.struct(
+        F.col("obj_surface").alias("surface"),
+        (F.col("sent_begin") + F.col("obj_begin")).alias("begin"),
+    )
+    pair = F.filter(
+        F.array(subj, F.when(F.col("obj_is_literal") == 0, obj)),
+        lambda m: m.isNotNull(),
+    )
+    m = parsed.select(
         "doc_id",
         "span_idx",
         "sent_id",
-        F.col("obj_surface").alias("surface"),
-        (F.col("sent_begin") + F.col("obj_begin")).alias("begin"),
         F.col("s_text").alias("context"),
+        F.explode(pair).alias("_m"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        "sent_id",
+        "context",
+        F.col("_m.surface").alias("surface"),
+        F.col("_m.begin").alias("begin"),
     )
-    m = subj.unionByName(obj)
     return m.select(
         "doc_id",
         F.col("span_idx").cast("int"),

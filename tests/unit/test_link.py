@@ -97,3 +97,21 @@ def test_full_corpus_links_all_surfaces_correctly(spark, docs, alias_dict, corpu
             r.entity_id,
             gold.get(r.norm_surface),
         )
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Standalone L3 operator: the fraction of agreeing signature slots
+    is an unbiased jaccard estimate; identical inputs hash identically."""
+    from canonicity_spark import fixtures
+
+    a, b = "acme corporation", "acme corporatoin"
+    df = spark.createDataFrame([(a,), (a,), (b,)], ["s"])
+    sigs = df.select(
+        link.minhash_signature(link.shingles_col(F.col("s"))).alias("sig")
+    ).collect()
+    s0, s1, s2 = (r.sig for r in sigs)
+    assert s0 == s1  # deterministic
+    agree = sum(x == y for x, y in zip(s0, s2)) / len(s0)
+    sa, sb = fixtures._shingles(a), fixtures._shingles(b)
+    jac = len(sa & sb) / len(sa | sb)
+    assert abs(agree - jac) < 0.25  # 64 hashes -> coarse but centered estimate
