@@ -25,7 +25,7 @@ if REPO not in sys.path:  # allow `python BENCH/scaling.py` from anywhere
     sys.path.insert(0, REPO)
 
 
-def run_level(corpus: str, cores: int, shuffle: int) -> dict:
+def run_level(corpus: str, cores: int, shuffle: int, retries: int = 1) -> dict:
     wd = tempfile.mkdtemp(prefix=f"scaling_{cores}_")
     try:
         out = subprocess.run(
@@ -51,6 +51,9 @@ def run_level(corpus: str, cores: int, shuffle: int) -> dict:
                 f"cli failed at local[{cores}] (rc={out.returncode}):\n"
                 + out.stderr[-4000:]
             )
+            if retries > 0:
+                sys.stderr.write(f"retrying local[{cores}] once\n")
+                return run_level(corpus, cores, shuffle, retries=retries - 1)
             raise RuntimeError(f"no JSON output from local[{cores}] run")
         return json.loads(json_lines[-1])
     finally:

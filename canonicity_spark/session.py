@@ -74,8 +74,12 @@ def _cap_local_threads(master: str | None) -> str | None:
         return master
     ncpu = os.cpu_count() or 32
     if k >= ncpu and ncpu > 8:
-        return f"local[{ncpu - 4}]"
-    return master
+        k = ncpu - 4
+    # local[K, 4]: allow task retries like a real cluster
+    # (spark.task.maxFailures defaults to 4 there but to 1 in local
+    # mode) — a transient Python-worker death must not kill a
+    # multi-hour run when the stage catalog would resume it anyway.
+    return f"local[{k},4]"
 
 
 def build(
