@@ -113,13 +113,14 @@ def q_kg_pipeline(spark, sf):
     docs = extract.ensure_parallelism(
         adapter.flat_to_interleaved(_t(spark, sf, "documents")), "doc_id"
     )
-    from canonicity_spark import canonicalize
+    from canonicity_spark import cache, canonicalize
 
+    cache.unpin_all(owner="entry_kg")  # release the previous invocation's pin
     mentions, raw_triples = extract.run(docs)
     # mentions feeds linking AND the label fan-out; persist so the
     # extraction UDFs run once (pipeline.run achieves the same via
-    # stage checkpoints)
-    mentions = mentions.persist()
+    # stage checkpoints); pinned so long-lived sessions can release it
+    mentions = cache.pin(mentions, owner="entry_kg")
     links = link.run(mentions, _empty_alias_dict(spark))
     _labels, surface_map = canonicalize.run(links)
     return materialize.run(raw_triples, surface_map)
@@ -539,6 +540,41 @@ def q_dd_minhash_pairs(spark, sf):
     return similarity.minhash_near_dup_pairs(_t(spark, sf, "documents"))
 
 
+def q_dd_near_dup_verified(spark, sf):
+    """LSH candidates + exact 5-gram jaccard verify, thresholded at 0.8
+    — the post-threshold set is deterministic (fixed MinHash seeds) and
+    SQL-expressible, so the full dedup path gets a value-level oracle
+    (round-1 VERDICT asked for exactly this upgrade)."""
+    return similarity.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.8
+    )
+
+
+def q_l4_band_join(spark, sf):
+    """L4 band-join shape in isolation: SQL-expressible band tables
+    (md5-bucketed names) through link.band_join, hot-bucket guard
+    included — the blocking equi-join gets a standalone oracle
+    (SURVEY §2.D marked it 'partial' in round 1)."""
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+
+    def bands(df, col, out):
+        return df.select(
+            F.lower(col).alias(out),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_id"),
+        ).withColumn(
+            "band_hash",
+            F.substring(
+                F.md5(F.concat_ws("#", out, F.col("band_id").cast("string"))), 1, 2
+            ),
+        )
+
+    probe = bands(c, "c_name", "norm_surface")
+    build = bands(s, "s_name", "cand_alias")
+    return link.band_join(probe, build, max_bucket=1).select(
+        "band_id", "band_hash", "norm_surface", "cand_alias"
+    )
+
+
 def q_dd_simhash(spark, sf):
     """SimHash fingerprints (no SQL oracle — rows-only check)."""
     return similarity.simhash_docs(_t(spark, sf, "documents"))
@@ -597,9 +633,11 @@ def queries() -> dict[str, Q]:
         "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "u4_centroid_norm": q_u4_centroid_norm,
         "dd_minhash_pairs": q_dd_minhash_pairs,
+        "dd_near_dup_verified": q_dd_near_dup_verified,
         "dd_simhash": q_dd_simhash,
         # pipeline operators with relational twins
         "l1_link_exact": q_l1_link_exact,
+        "l4_band_join": q_l4_band_join,
         "g3_cc_star": q_g3_cc_star,
         "g6_salted_min": q_g6_salted_min,
         # multimodal plumbing
@@ -894,6 +932,49 @@ def oracle_sql() -> dict[str, str]:
         "g6_salted_min": """
             SELECT l_orderkey, round(min(l_extendedprice), 2) AS min_price
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "dd_near_dup_verified": r"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+                       FROM documents),
+                 sh AS (SELECT doc_id,
+                               CASE WHEN length(t) >= 5
+                                    THEN list_distinct(list_transform(
+                                        range(1, length(t) - 3), i -> t[i : i + 4]))
+                                    ELSE [t] END AS s
+                        FROM t),
+                 sz AS (SELECT doc_id, s, len(s) AS n FROM sh)
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+                FROM sz a, sz b
+                -- lossless prefilter: jaccard <= min(n)/max(n), so pairs
+                -- failing this cannot round up to 0.8 (0.79 margin)
+                WHERE a.doc_id < b.doc_id
+                  AND a.n >= 0.79 * b.n AND b.n >= 0.79 * a.n
+            ) WHERE jaccard >= 0.8
+        """,
+        "l4_band_join": """
+            WITH probe AS (
+                SELECT lower(c_name) AS norm_surface, b.band_id,
+                       substring(md5(lower(c_name) || '#' || CAST(b.band_id AS VARCHAR)), 1, 2)
+                           AS band_hash
+                FROM customer, (SELECT unnest(range(0, 4)) AS band_id) b
+            ), build AS (
+                SELECT lower(s_name) AS cand_alias, b.band_id,
+                       substring(md5(lower(s_name) || '#' || CAST(b.band_id AS VARCHAR)), 1, 2)
+                           AS band_hash
+                FROM supplier, (SELECT unnest(range(0, 4)) AS band_id) b
+            ), hot AS (
+                SELECT band_id, band_hash FROM build
+                GROUP BY band_id, band_hash HAVING count(*) > 1
+            ), guarded AS (
+                SELECT build.* FROM build ANTI JOIN hot USING (band_id, band_hash)
+            )
+            SELECT CAST(p.band_id AS INT) AS band_id, p.band_hash,
+                   p.norm_surface, g.cand_alias
+            FROM probe p JOIN guarded g USING (band_id, band_hash)
         """,
         # dd_minhash_pairs / dd_simhash / dd_embedding_near_dup /
         # ann_ivf_topk / mm_media_features intentionally omitted:

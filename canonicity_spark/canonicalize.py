@@ -133,8 +133,15 @@ def component_entity(labels: DataFrame) -> DataFrame:
     component (min entity id if an over-merge ever produced several —
     deterministic either way). Returns (label, entity_id)."""
     ent_nodes = labels.filter(F.col("node").startswith(ENT_PREFIX))
-    return ent_nodes.groupBy("label").agg(
-        F.substring_index(F.min("node"), ENT_PREFIX, -1).alias("entity_id")
+    # fixed-length prefix strip, not substring_index: entity ids may
+    # contain 'ent:' as a substring (NIL proto-entities 'new:<surface>'
+    # derive from arbitrary text), which substring_index would truncate.
+    min_node = ent_nodes.groupBy("label").agg(F.min("node").alias("_min_node"))
+    return min_node.select(
+        "label",
+        F.col("_min_node")
+        .substr(F.lit(len(ENT_PREFIX) + 1), F.length("_min_node"))
+        .alias("entity_id"),
     )
 
 

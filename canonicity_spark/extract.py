@@ -144,29 +144,57 @@ def segment_sentences(texts: pd.Series) -> pd.Series:
 
 
 def segment_sentences_expr(text: Column) -> Column:
-    """N2 as a pure column expression (JVM, whole-stage codegen):
-    split on inter-sentence whitespace (lookbehind keeps the periods),
-    cumulative starts via the ``aggregate`` higher-order function —
-    no Python crossing, no shuffle. Trailing text without a terminator
-    yields one fragment that the parser rejects downstream, matching
-    the UDF's drop behavior."""
-    sents = F.split(text, r"(?<=\.)\s+")
+    """N2 as a pure column expression (JVM, whole-stage codegen) —
+    exact mirror of ``segment_sentences``'s finditer(``[^.]+\\.``)
+    semantics, reconstructed from a split on the 1-char terminator:
+
+    - every non-last, non-empty piece of ``split(text, '.')`` is one
+      terminated sentence (the last piece is either '' — text ended
+      with '.' — or an unterminated fragment, which the reference
+      finditer DROPS);
+    - piece begin = cumsum(len+1) (every separator is exactly one
+      '.', so offsets are exact whatever whitespace follows it:
+      '. ', '.\\n', '.  ' all work);
+    - s_text = ltrim(piece) + '.', s_begin advances past the leading
+      whitespace — matching ``raw.strip()`` / ``m.start() + lstrip``.
+    """
+    pieces = F.split(text, r"\.")
     starts = F.aggregate(
-        sents,
+        pieces,
         F.array(F.lit(0)),
         lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + F.length(x) + 1)),
     )
-    idx = F.sequence(F.lit(0), F.size(sents) - 1)
-    return F.filter(
+    n = F.size(pieces)
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    def _lstrip(c: Column) -> Column:
+        # F.ltrim strips only ' '; the reference lstrip() strips all
+        # whitespace (\n, \t, ...)
+        return F.regexp_replace(c, r"^\s+", "")
+
+    raw = F.filter(
         F.transform(
             idx,
             lambda i: F.struct(
-                i.cast("int").alias("sent_id"),
-                F.element_at(sents, i + 1).alias("s_text"),
-                F.element_at(starts, i + 1).cast("int").alias("s_begin"),
+                _lstrip(F.element_at(pieces, i + 1)).alias("t"),
+                (
+                    F.element_at(starts, i + 1)
+                    + F.length(F.element_at(pieces, i + 1))
+                    - F.length(_lstrip(F.element_at(pieces, i + 1)))
+                ).alias("b"),
+                F.length(F.element_at(pieces, i + 1)).alias("rawlen"),
             ),
         ),
-        lambda s: F.length(s["s_text"]) > 0,
+        lambda s: s["rawlen"] > 0,
+    )
+    return F.transform(
+        raw,
+        lambda s, i: F.struct(
+            i.cast("int").alias("sent_id"),
+            F.concat(s["t"], F.lit(".")).alias("s_text"),
+            s["b"].cast("int").alias("s_begin"),
+        ),
     )
 
 
@@ -262,9 +290,6 @@ def _parse_span_batches(batches):
     import pyarrow.compute as pc
 
     pat, phrase2pred = _build_parse_re()
-    # pieces from split_pattern('. ') lose their trailing period except
-    # the last one — make it optional in the anchor.
-    pattern = pat.pattern.replace(r"\s*\.$", r"\s*\.?$")
     phrases = sorted(phrase2pred)
     phrase_arr = pa.array(phrases)
     pred_arr = pa.array([phrase2pred[p] for p in phrases])
@@ -277,7 +302,14 @@ def _parse_span_batches(batches):
 
     for batch in batches:
         texts = batch.column("text")
-        pieces = pc.split_pattern(texts, pattern=". ")
+        # Segmentation mirrors segment_sentences' finditer('[^.]+\.')
+        # exactly (parity-tested): split on the 1-char terminator, drop
+        # each parent's LAST piece (either '' — text ended with '.' —
+        # or an unterminated fragment the reference drops) and empty
+        # pieces from '..' runs; sentence = ltrim(piece) + '.'. Because
+        # every separator is exactly one '.', cumsum(len+1) gives exact
+        # begins for any inter-sentence whitespace ('. ', '.\n', '.  ').
+        pieces = pc.split_pattern(texts, pattern=".")
         flat = pc.list_flatten(pieces)
         if len(flat) == 0:
             continue
@@ -286,17 +318,32 @@ def _parse_span_batches(batches):
         counts = np.nan_to_num(counts.astype("float64")).astype("int64")
         lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
 
-        # sent_id = position within parent; s_begin = grouped cumsum of
-        # (piece_len + 2) (the split ate '. ' between sentences)
         group_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         first_flat_of_parent = np.repeat(group_starts[counts > 0], counts[counts > 0])
         n = len(flat)
         idx = np.arange(n)
-        sent_id = idx - first_flat_of_parent
-        cum = np.concatenate(([0], np.cumsum(lens + 2)))
-        s_begin_local = cum[idx] - cum[first_flat_of_parent]
+        pos_in_parent = idx - first_flat_of_parent
+        cum = np.concatenate(([0], np.cumsum(lens + 1)))
+        begin_local = cum[idx] - cum[first_flat_of_parent]
 
-        ext = pc.extract_regex(flat, pattern=pattern)
+        ltrimmed = pc.utf8_ltrim_whitespace(flat)
+        lstrip = lens - pc.utf8_length(ltrimmed).to_numpy(zero_copy_only=False)
+        keep = (pos_in_parent != counts[parents] - 1) & (lens > 0)
+        if not keep.any():
+            continue
+        keep_arr = pa.array(keep)
+        kept_parents = parents[keep]
+        s_text = pc.binary_join_element_wise(
+            ltrimmed.filter(keep_arr), ".", ""
+        )
+        s_begin_local = (begin_local + lstrip)[keep]
+        # sent_id = rank among kept sentences within the parent
+        kidx = np.arange(len(kept_parents))
+        new_group = np.concatenate(([True], kept_parents[1:] != kept_parents[:-1]))
+        sent_id = kidx - np.maximum.accumulate(np.where(new_group, kidx, 0))
+
+        # template parse: terminator REQUIRED (s_text always ends '.')
+        ext = pc.extract_regex(s_text, pattern=pat.pattern)
         subj = ext.field("subj")
         phrase = ext.field("phrase")
         obj = ext.field("obj")
@@ -308,13 +355,14 @@ def _parse_span_batches(batches):
             pc.match_substring_regex(obj, r"^\d+$"), pa.int32()
         )
 
-        span_offset = batch.column("offset").to_numpy(zero_copy_only=False)[parents]
+        span_offset = batch.column("offset").to_numpy(zero_copy_only=False)[kept_parents]
         sent_begin = (span_offset + s_begin_local).astype("int32")
+        kept_parent_arr = pa.array(kept_parents)
         arrays = [
-            pc.take(batch.column("doc_id"), pa.array(parents)),
-            pc.take(batch.column("span_idx"), pa.array(parents)),
+            pc.take(batch.column("doc_id"), kept_parent_arr),
+            pc.take(batch.column("span_idx"), kept_parent_arr),
             pa.array(sent_id.astype("int32")),
-            flat,
+            s_text,
             pa.array(sent_begin),
             subj,
             pc.if_else(pc.is_valid(subj), pa.scalar(0, pa.int32()), pa.scalar(None, pa.int32())),

@@ -58,9 +58,15 @@ def _partition_lineage(path: str) -> list[dict]:
 class ParquetCatalog:
     """Parquet-backed stage store with atomic commit manifests."""
 
-    def __init__(self, root: str, run_id: str | None = None):
+    def __init__(
+        self, root: str, run_id: str | None = None, fingerprint: str | None = None
+    ):
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        # input/config identity: recorded in every manifest and
+        # validated on resume so a work dir left by a different
+        # input/config cannot silently donate stale stages (S5 safety).
+        self.fingerprint = fingerprint
         os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------
@@ -96,6 +102,7 @@ class ParquetCatalog:
         manifest = {
             "stage": name,
             "run_id": self.run_id,
+            "fingerprint": self.fingerprint,
             "rows_in": rows_in,
             "rows_out": rows_out,
             "partitions": lineage,
@@ -109,7 +116,25 @@ class ParquetCatalog:
 
     # -- S5: resume ------------------------------------------------------
     def stage_committed(self, name: str) -> bool:
-        return os.path.exists(self._manifest(name))
+        """Committed AND written for the same input/config.
+
+        A manifest from a different fingerprint means the work dir
+        belongs to another input or configuration — fail loudly rather
+        than resume into mixed stage outputs (ADVICE round 1).
+        """
+        if not os.path.exists(self._manifest(name)):
+            return False
+        if self.fingerprint is None:
+            return True
+        recorded = self.read_manifest(name).get("fingerprint")
+        if recorded is not None and recorded != self.fingerprint:
+            raise RuntimeError(
+                f"stage {name!r} in {self.root} was committed for a different "
+                f"input/config (manifest fingerprint {recorded}, expected "
+                f"{self.fingerprint}) — refusing to resume; use a fresh "
+                "work dir or delete the stale stages"
+            )
+        return True
 
     def read_stage(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._dir(name))

@@ -189,6 +189,33 @@ def alias_candidates(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
 
+def band_join(
+    probe_bands: DataFrame, build_bands: DataFrame, max_bucket: int = _MAX_BUCKET
+) -> DataFrame:
+    """L4 core — the blocking equi-join on (band_id, band_hash) with the
+    hot-bucket skew guard, independent of how bands were produced (so
+    the join shape itself is oracle-checkable over SQL-expressible band
+    tables — SURVEY §2.D marked the join "partial" in round 1).
+
+    Skew guard: hot buckets are by definition FEW, so exclude them via
+    a broadcast anti-join against the over-cap bucket list on the BUILD
+    side (a window count would sort every bucket; the aggregate gets
+    map-side combine and the anti-join never shuffles the big side by
+    bucket twice). A degenerate bucket (empty strings, boilerplate)
+    would otherwise pair-explode quadratically.
+    """
+    hot = (
+        build_bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    guarded = build_bands.join(
+        F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
+    )
+    return probe_bands.join(guarded, ["band_id", "band_hash"], "inner")
+
+
 def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """L3+L4 — MinHash-LSH blocking of unmatched surfaces vs the dictionary.
 
@@ -208,18 +235,7 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     a_bands = with_bands(
         alias_dict.select("alias", "entity_id", "prior"), "alias"
     )
-    # Skew guard: hot buckets are by definition FEW, so exclude them via
-    # a broadcast anti-join against the over-cap bucket list (a window
-    # count would sort every bucket; the aggregate gets map-side combine
-    # and the anti-join never shuffles the big side by bucket twice).
-    hot = (
-        a_bands.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") > _MAX_BUCKET)
-        .select("band_id", "band_hash")
-    )
-    a_bands = a_bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
-    pairs = m_bands.join(a_bands, ["band_id", "band_hash"], "inner")
+    pairs = band_join(m_bands, a_bands, _MAX_BUCKET)
     return pairs.select(
         "norm_surface",
         F.col("alias").alias("cand_alias"),
@@ -275,11 +291,16 @@ def link_surfaces(
     ``new:<norm_surface>``, shared across documents so identical
     unknown surfaces still canonicalize together.
     """
+    from canonicity_spark import cache
+
+    cache.unpin_all(owner="link")  # release the previous invocation's pins
     dict_norm = normalize_alias_dict(alias_dict)
     # surfaces and best feed multiple consumers (candidates, NIL
     # anti-join, output union); they are vocabulary-sized — persist so
     # the mention-scale aggregation and the scoring pipeline run once.
-    surfaces = distinct_surfaces(mentions).persist()
+    # Registered with cache.pin so long-lived sessions can release them
+    # (pipeline.run unpins after the stage write).
+    surfaces = cache.pin(distinct_surfaces(mentions), owner="link")
 
     exact = alias_candidates(surfaces, dict_norm)
     unmatched = surfaces.join(
@@ -289,8 +310,9 @@ def link_surfaces(
     )
     fuzzy = lsh_candidates(unmatched, dict_norm)
     cands = exact.unionByName(fuzzy)
-    best = (
-        top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau).persist()
+    best = cache.pin(
+        top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau),
+        owner="link",
     )
 
     nil = surfaces.join(best.select("norm_surface"), "norm_surface", "left_anti").select(

@@ -37,24 +37,34 @@ FEATURE_SCHEMA = (
 )
 
 
-def fetch_payloads(docs_spans: DataFrame) -> DataFrame:
-    """media spans -> (doc_id, media_ref, kind, payload:binary).
-
-    STUB: a real deployment replaces the deterministic synthetic bytes
-    with an object-store fetch (s3/hdfs open by media_ref). Payload
-    bytes are a pure function of media_ref so tests are reproducible.
-    """
-    media = docs_spans.filter(F.col("kind") != "text")
-    # deterministic fake payload: repeat of xxhash64(media_ref) bytes
+def synthetic_fetcher(media: DataFrame) -> DataFrame:
+    """Default fetcher STUB: deterministic synthetic bytes (a repeat of
+    xxhash64(media_ref) bytes), a pure function of media_ref so tests
+    are reproducible. A real deployment's fetcher resolves media_ref
+    against an object store (s3/hdfs open) instead."""
     seed = F.xxhash64("media_ref")
-    return media.select(
-        "doc_id",
-        "media_ref",
-        "kind",
+    return media.withColumn(
+        "payload",
         F.substring(
             F.repeat(F.unhex(F.lpad(F.hex(F.abs(seed)), 16, "0")), 32), 1, 256
-        ).cast("binary").alias("payload"),
+        ).cast("binary"),
     )
+
+
+def fetch_payloads(docs_spans: DataFrame, fetcher=None) -> DataFrame:
+    """media spans -> (doc_id, media_ref, kind, payload:binary).
+
+    ``fetcher`` is pluggable (same pattern as the catalog backends): a
+    callable DataFrame -> DataFrame that adds a binary ``payload``
+    column to (doc_id, media_ref, kind) rows. Defaults to the
+    deterministic ``synthetic_fetcher`` stub (no object store in this
+    sandbox).
+    """
+    media = docs_spans.filter(F.col("kind") != "text").select(
+        "doc_id", "media_ref", "kind"
+    )
+    fetched = (fetcher or synthetic_fetcher)(media)
+    return fetched.select("doc_id", "media_ref", "kind", "payload")
 
 
 def _decode_stub(kind: str, payload: bytes) -> dict:
@@ -74,14 +84,29 @@ def _decode_stub(kind: str, payload: bytes) -> dict:
     raise NotImplementedError(f"unsupported media kind: {kind}")
 
 
-def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+def decode_features(
+    media: DataFrame, feature_dim: int = 8, observations: dict | None = None
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
     Emits one row per decodable payload (corrupt rows are dropped, not
     failed — at 10^12 scale a bad payload must never kill a stage).
     The 'feature' is a deterministic byte-histogram sketch standing in
     for a real embedding model.
+
+    Pass ``observations={}`` to receive 'media_in'/'media_out'
+    Observation objects (S7 lineage counters, collected as a side
+    effect of the materializing action — zero extra jobs); feed them to
+    ``drop_rate_metrics`` for the dropped/corrupt-payload rate.
     """
+    if observations is not None:
+        import uuid
+
+        from canonicity_spark import metrics
+
+        media, observations["media_in"] = metrics.observed(
+            media, f"media_in_{uuid.uuid4().hex[:6]}"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -116,7 +141,30 @@ def decode_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    out = media.mapInPandas(batches, FEATURE_SCHEMA)
+    if observations is not None:
+        import uuid
+
+        from canonicity_spark import metrics
+
+        out, observations["media_out"] = metrics.observed(
+            out, f"media_out_{uuid.uuid4().hex[:6]}"
+        )
+    return out
+
+
+def drop_rate_metrics(observations: dict) -> dict:
+    """Metrics line for the decode stage: rows in/out + drop rate of
+    corrupt/undecodable payloads. Read only after an action has
+    materialized the decode output."""
+    rows_in = observations["media_in"].get["rows"]
+    rows_out = observations["media_out"].get["rows"]
+    return {
+        "media_rows_in": rows_in,
+        "media_rows_out": rows_out,
+        "media_dropped": rows_in - rows_out,
+        "media_drop_rate": round(1.0 - rows_out / rows_in, 6) if rows_in else 0.0,
+    }
 
 
 def sample_frames(features: DataFrame, every_nth: int = 30) -> DataFrame:

@@ -11,12 +11,14 @@ the catalog, skipped on resume if already committed — BASELINE.json:14):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from canonicity_spark import canonicalize, extract, link, materialize
+from canonicity_spark import cache, canonicalize, extract, link, materialize
 from canonicity_spark.io_catalog import ParquetCatalog
 
 
@@ -37,6 +39,26 @@ class PipelineConf:
 STAGES = ["mentions", "raw_triples", "surface_links", "labels", "surface_map", "triples", "entities"]
 
 
+def input_fingerprint(docs: DataFrame, conf: PipelineConf) -> str:
+    """Identity of (input, semantics-affecting config) for resume safety.
+
+    Resuming into a work dir left by a DIFFERENT input or config must
+    not silently reuse stale stage outputs (ADVICE round 1). The
+    fingerprint covers the scan's file set (exact for parquet inputs;
+    empty for in-memory test frames, where schema still guards), the
+    input schema, and every conf knob that changes stage outputs.
+    Driver-side only — zero Spark jobs.
+    """
+    ident = {
+        "files": sorted(docs.inputFiles()),
+        "schema": docs.schema.jsonValue(),
+        "tau": conf.tau,
+        "cc_max_iter": conf.cc_max_iter,
+        "use_salting": conf.use_salting,
+    }
+    return hashlib.sha256(json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
+
+
 def run(
     spark: SparkSession,
     docs: DataFrame,
@@ -45,7 +67,9 @@ def run(
     entity_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Run (or resume) the pipeline; returns the triples DataFrame."""
-    cat = ParquetCatalog(conf.work_dir, run_id=conf.run_id)
+    cat = ParquetCatalog(
+        conf.work_dir, run_id=conf.run_id, fingerprint=input_fingerprint(docs, conf)
+    )
 
     def stage(name: str, compute) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
@@ -55,6 +79,9 @@ def run(
         conf.stages_run.append(name)
         out = cat.write_stage(df, name)
         conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
+        # the stage output is parquet-backed now — release any frames
+        # the stage pinned (link's surfaces/best etc.)
+        cache.unpin_all()
         return out
 
     def check_stop(name: str):

@@ -82,6 +82,24 @@ def _cap_local_threads(master: str | None) -> str | None:
     return f"local[{k},4]"
 
 
+def _local_core_count(master: str | None) -> int:
+    """Core count from a local master, incl. the ``local[K,F]`` retry form.
+
+    ``_cap_local_threads`` rewrites ``local[K]`` -> ``local[K,4]``; the
+    shuffle-partition heuristic must parse the core count *before* the
+    comma or it silently falls back to 32 (ADVICE round 1).
+    """
+    if not master or "[" not in master:
+        return 32
+    inner = master.split("[", 1)[1].rstrip("]").split(",")[0].strip()
+    if inner == "*":
+        return os.cpu_count() or 32
+    try:
+        return int(inner)
+    except ValueError:
+        return 32
+
+
 def build(
     app_name: str = "canonicity_spark",
     master: str | None = None,
@@ -115,10 +133,7 @@ def build(
     if shuffle_partitions is None:
         # 2x cores locally; AQE coalesces down. On a cluster this is set
         # per-job relative to total executor cores.
-        try:
-            n = int(master.split("[")[1].rstrip("]")) if master and "[" in master else 32
-        except ValueError:
-            n = 32
+        n = _local_core_count(master)
         shuffle_partitions = max(8, 2 * n)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from canonicity_spark import cache
 from canonicity_spark.link import shingles_col
 
 
@@ -59,25 +60,59 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
 
 
+def _token_hash64(tok: str) -> int:
+    """Per-token 64-bit hash: two crc32 passes (process-stable, unlike
+    Python's salted ``hash``). Called once per DISTINCT token per batch."""
+    data = tok.encode("utf-8")
+    return (zlib.crc32(data) << 32) | zlib.crc32(data, 0xABCD)
+
+
 @pandas_udf(returnType=LongType())
 def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """64-bit SimHash over whitespace tokens (crc32-seeded, process-
-    stable). Vectorized per Arrow batch; near-dups differ in few bits."""
+    stable). Near-dups differ in few bits.
+
+    Vectorized across the whole Arrow batch (no per-token Python hot
+    loop — ADVICE round 1): tokens are flattened batch-wide, hashed
+    once per DISTINCT token (pd.factorize), expanded to a ±1 bit
+    matrix with one broadcasted shift, and bit votes are accumulated
+    per document with grouped segment-sums (np.add.reduceat), chunked
+    to bound peak memory. Output is bit-identical to the original
+    per-token implementation (parity-pinned in tests).
+    """
+    shifts = np.arange(64, dtype=np.uint64)
     for texts in batches:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.split():
-                data = tok.encode("utf-8")
-                h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data, 0xABCD))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == np.uint64(1), 1, -1)
-            sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        yield pd.Series(out, dtype="int64")
+        toks_per_doc = [t.split() if t else [] for t in texts]
+        counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        sigs = np.zeros(len(toks_per_doc), dtype=np.uint64)
+        flat = [tok for ts in toks_per_doc for tok in ts]
+        if flat:
+            codes, uniques = pd.factorize(np.array(flat, dtype=object))
+            uh = np.fromiter(
+                (_token_hash64(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+            )
+            # ±1 vote matrix for the distinct tokens: (n_unique, 64)
+            pm = (
+                ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2
+                - 1
+            )
+            nz = np.flatnonzero(counts)
+            ends = np.cumsum(counts[nz])
+            starts = ends - counts[nz]
+            votes = np.empty((len(nz), 64), dtype=np.int64)
+            # segment-sum in doc chunks of <=256k tokens: one gather +
+            # one reduceat per chunk keeps peak memory ~64 MB
+            lo = 0
+            while lo < len(nz):
+                hi = lo + 1
+                while hi < len(nz) and ends[hi - 1] - starts[lo] < 262144:
+                    hi += 1
+                seg = pm[codes[starts[lo] : ends[hi - 1]]]
+                votes[lo:hi] = np.add.reduceat(seg, starts[lo:hi] - starts[lo], axis=0)
+                lo = hi
+            sigs[nz] = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        # two's-complement view == the old manual 2^63 wraparound
+        yield pd.Series(sigs.view(np.int64), dtype="int64")
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -111,6 +146,7 @@ def minhash_near_dup_pairs(
     """
     from canonicity_spark.link import make_minhash_band_udf
 
+    cache.unpin_all(owner="minhash_dedup")  # release the previous invocation's pins
     band_udf = make_minhash_band_udf(DOC_MINHASH_K, DOC_BANDS, DOC_ROWS, shingle_n=5)
     from canonicity_spark.extract import ensure_parallelism
 
@@ -124,8 +160,9 @@ def minhash_near_dup_pairs(
     # The banded table feeds three consumers (hot-bucket aggregate and
     # both sides of the self-join); persist it so the signature UDF runs
     # once per doc, not three times. At cluster scale this is the stage
-    # you'd checkpoint to the catalog instead.
-    banded = banded.persist()
+    # you'd checkpoint to the catalog instead. cache.pin registers it
+    # for release at the next op invocation (no unbounded accumulation).
+    banded = cache.pin(banded, owner="minhash_dedup")
     hot = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("_bsz"))
@@ -213,6 +250,7 @@ def embedding_near_dup_pairs(
     dedup. Exact cosine on the candidates makes the output precise; the
     LSH stage only affects recall.
     """
+    cache.unpin_all(owner="emb_dedup")  # release the previous invocation's pins
     udf = _hyperplane_buckets_udf(n_bands, band_bits, dim)
     banded = embeddings.select(
         "vec_id", "embedding", F.explode(udf(F.col("embedding"))).alias("bucket")
@@ -223,7 +261,9 @@ def embedding_near_dup_pairs(
         .filter(F.col("_bsz") > max_bucket)
         .select("bucket")
     )
-    banded = banded.join(F.broadcast(hot), "bucket", "left_anti").persist()
+    banded = cache.pin(
+        banded.join(F.broadcast(hot), "bucket", "left_anti"), owner="emb_dedup"
+    )
     a = banded.select(
         F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
@@ -243,6 +283,66 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+def _kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_n: int = 4096,
+    n_iter: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained driver-side
+    on a deterministic sample.
+
+    - Sample = the ``sample_n`` rows with smallest xxhash64(vec_id):
+      one TakeOrdered pass (no full sort), stable under partitioning
+      and data scale — at 100 TB this is still a single cheap scan
+      collecting a few thousand rows.
+    - k-means++ init + Lloyd iterations with a fixed RandomState, so
+      cell assignment is deterministic across runs/executors.
+    - Empty cells are re-seeded at the point farthest from its nearest
+      centroid (keeps all cells populated — balanced cells are what
+      make IVF recall hold at scale).
+    """
+    sample = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.asc("vec_id"))
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.stack([np.array(r["embedding"], dtype=np.float64) for r in sample])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding on cosine distance
+    chosen = [int(rng.randint(len(x)))]
+    for _ in range(1, n_centroids):
+        d = np.maximum(1.0 - (x @ x[chosen].T).max(axis=1), 0.0)
+        total = d.sum()
+        p = d / total if total > 0 else None
+        chosen.append(int(rng.choice(len(x), p=p)))
+    cents = x[chosen].copy()
+    for _ in range(n_iter):
+        assign = (x @ cents.T).argmax(axis=1)
+        moved = False
+        for j in range(n_centroids):
+            pts = x[assign == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    m = m / norm
+                if not np.allclose(m, cents[j]):
+                    cents[j] = m
+                    moved = True
+            else:
+                far = int((x @ cents.T).max(axis=1).argmin())
+                cents[j] = x[far]
+                moved = True
+        if not moved:
+            break
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -253,15 +353,15 @@ def ivf_topk(
     """IVF-style approximate top-k: coarse quantize into cells, probe
     only the ``n_probe`` cells nearest to the query, brute-force within.
 
-    Centroids here are a deterministic sample (the ``n_centroids``
-    lowest vec_ids) — at scale you'd k-means them offline; the query
-    plan is the same either way. Scan cost drops by ~n_probe/n_centroids
-    versus brute force; recall is tested against the exact baseline in
+    Centroids come from seeded spherical k-means on a deterministic
+    sample (``_kmeans_centroids``) — real cells, so recall holds as the
+    corpus grows (the round-1 lowest-vec_id stub gave arbitrary,
+    unbalanced cells). Scan cost drops by ~n_probe/n_centroids versus
+    brute force; recall >= 0.9 vs the exact baseline is asserted in
     tests/unit/test_similarity.py.
     """
-    cents = embeddings.orderBy("vec_id").limit(n_centroids).collect()
-    cent_mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in cents])
-    cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_mat = _kmeans_centroids(embeddings, n_centroids)
+    n_centroids = len(cent_mat)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import IntegerType

@@ -70,6 +70,101 @@ def test_segment_expr_matches_udf_on_corpus(spark, docs):
     assertDataFrameEqual(via_expr, via_udf, checkRowOrder=False)
 
 
+MESSY_TEXTS = [
+    # unterminated trailing fragment containing a predicate phrase:
+    # the reference finditer drops it — no extra triple
+    "a works for b. c acquired d",
+    # newline and multi-space inter-sentence separators
+    "a works for b.\nc acquired d.",
+    "a works for b.  c acquired d.",
+    "a works for b.\n\n  c acquired d.",
+    # period runs and whitespace-only pieces
+    "a works for b.. c acquired d.",
+    "a works for b. . c acquired d.",
+    # no terminator at all / only a fragment
+    "a works for b",
+    "",
+    None,
+    # trailing whitespace after final period
+    "a works for b. ",
+    # unicode + messy separators
+    "Müller Gmbh works for Žünder Aß.\n  Žünder Aß employs 42.",
+]
+
+
+def _messy_df(spark):
+    rows = [(f"m{i}", t) for i, t in enumerate(MESSY_TEXTS)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_segment_three_way_parity_on_messy_inputs(spark):
+    """UDF (reference finditer), codegen expr, and the fused Arrow
+    kernel must segment messy inputs identically (ADVICE round 1):
+    unterminated fragments dropped, variable-width separators exact."""
+    from pyspark.testing import assertDataFrameEqual
+
+    df = _messy_df(spark)
+    via_udf = df.select(
+        "doc_id", F.explode(extract.segment_sentences("text")).alias("s")
+    ).select("doc_id", "s.sent_id", "s.s_text", "s.s_begin")
+    via_expr = df.select(
+        "doc_id", F.explode(extract.segment_sentences_expr(F.col("text"))).alias("s")
+    ).select("doc_id", "s.sent_id", "s.s_text", "s.s_begin")
+    docs = df.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    spans = extract.explode_spans(docs).filter(F.col("kind") == "text").select(
+        "doc_id", "span_idx", "offset", "text"
+    )
+    via_fused = spans.mapInArrow(
+        extract._parse_span_batches, extract._PARSED_SCHEMA
+    ).select("doc_id", "sent_id", "s_text", F.col("sent_begin").alias("s_begin"))
+    assertDataFrameEqual(via_expr, via_udf, checkRowOrder=False)
+    assertDataFrameEqual(via_fused, via_udf, checkRowOrder=False)
+
+
+def test_fused_parse_matches_udf_parse_on_messy_inputs(spark):
+    """Triple extraction parity: the fused kernel must emit exactly the
+    triples the segment-UDF + parse_sentence reference path emits —
+    in particular NO triple from an unterminated trailing fragment."""
+    df = _messy_df(spark)
+    ref = (
+        df.select("doc_id", F.explode(extract.segment_sentences("text")).alias("s"))
+        .select("doc_id", "s.sent_id", extract.parse_sentence("s.s_text").alias("p"))
+        .filter(F.col("p.pred").isNotNull())
+        .select("doc_id", "sent_id", "p.subj_surface", "p.pred", "p.obj_surface")
+    )
+    docs = df.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    fused = extract.parsed_sentences(docs).select(
+        "doc_id", "sent_id", "subj_surface", "pred", "obj_surface"
+    )
+    from pyspark.testing import assertDataFrameEqual
+
+    assertDataFrameEqual(fused, ref, checkRowOrder=False)
+    # the unterminated 'c acquired d' fragment must NOT produce a triple
+    assert fused.filter(
+        (F.col("doc_id") == "m0") & (F.col("pred") == "acquired")
+    ).count() == 0
+
+
 def test_parse_and_mentions(spark):
     docs = _mk_docs(
         spark,

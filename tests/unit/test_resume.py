@@ -53,6 +53,51 @@ def test_kill_and_resume_byte_identical(spark, docs, alias_dict, tmp_path):
     assert got == want
 
 
+def test_resume_rejects_different_input(spark, docs, alias_dict, tmp_path):
+    """A work dir committed for one input/config must not silently
+    donate stages to a run with a different one (ADVICE round 1) —
+    stage_committed fails loudly on fingerprint mismatch."""
+    import pytest
+
+    wd = str(tmp_path / "fp")
+    c1 = pipeline.PipelineConf(work_dir=wd, stop_after="mentions")
+    pipeline.run(spark, docs, alias_dict, c1)
+
+    # same input, different tau -> different fingerprint -> refuse
+    c2 = pipeline.PipelineConf(work_dir=wd, tau=0.9)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        pipeline.run(spark, docs, alias_dict, c2)
+
+    # same input and config -> resumes fine
+    c3 = pipeline.PipelineConf(work_dir=wd)
+    assert pipeline.run(spark, docs, alias_dict, c3) is not None
+    assert "mentions" not in c3.stages_run
+
+
+def test_legacy_manifest_without_fingerprint_still_resumes(spark, tmp_path):
+    """Manifests written before fingerprints (or by bare catalogs)
+    carry fingerprint=None and stay resumable."""
+    wd = str(tmp_path / "legacy")
+    bare = ParquetCatalog(wd, run_id="r0")  # no fingerprint recorded
+    bare.write_stage(spark.range(5), "s1")
+    checked = ParquetCatalog(wd, run_id="r1", fingerprint="abc123")
+    assert checked.stage_committed("s1")
+
+
+def test_cache_pin_scoped_release(spark):
+    """pin/unpin registry: owner-scoped release, nothing leaks."""
+    from canonicity_spark import cache
+
+    a = cache.pin(spark.range(10), owner="x")
+    b = cache.pin(spark.range(20), owner="y")
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert cache.unpin_all(owner="x") == 1
+    assert not a.storageLevel.useMemory
+    assert b.storageLevel.useMemory
+    assert cache.unpin_all() == 1
+    assert not b.storageLevel.useMemory
+
+
 def test_lineage_table(spark, docs, alias_dict, tmp_path):
     wd = str(tmp_path / "lin")
     conf = pipeline.PipelineConf(work_dir=wd)

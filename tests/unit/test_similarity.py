@@ -55,17 +55,50 @@ def test_embedding_near_dup_finds_planted_pairs(spark, embeddings):
     assert pairs <= exact
 
 
-def test_ivf_topk_recall(spark, embeddings):
-    exact = [r.vec_id for r in similarity.cosine_topk(embeddings, 0, k=10).collect()]
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """Mixture of 8 well-separated gaussians — the regime IVF exists
+    for. A real quantizer recovers the mixture cells; the round-1
+    lowest-vec_id stub did not (arbitrary cells -> recall collapse)."""
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 64)) * 6
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = (centers[c] + 0.3 * rng.standard_normal(64)).astype("float32")
+        rows.append((i, v.tolist(), c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivf_topk_recall(spark, clustered_embeddings):
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(clustered_embeddings, 0, k=10).collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            clustered_embeddings, 0, k=10, n_centroids=8, n_probe=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    # k-means cells align with the mixture: probing 2/8 cells must still
+    # capture the query's true neighbors (bar raised from 0.5 — VERDICT)
+    assert recall >= 0.9, (exact, approx)
+
+
+def test_ivf_topk_unclustered_still_finds_planted_dup(spark, embeddings):
+    """On structureless data IVF recall is bounded by n_probe/n_cells,
+    but the planted near-identical duplicate shares the query's cell by
+    construction and must always surface first."""
     approx = [
         r.vec_id
         for r in similarity.ivf_topk(
             embeddings, 0, k=10, n_centroids=8, n_probe=4
         ).collect()
     ]
-    recall = len(set(exact) & set(approx)) / 10
-    assert recall >= 0.5, (exact, approx)
-    # the planted duplicate shares the query's cell -> must be found
     assert approx[0] == 100
 
 
@@ -85,6 +118,79 @@ def test_simhash_near_dup_hamming(spark):
 
     assert ham(got[1], got[2]) < ham(got[1], got[3])
     assert ham(got[1], got[2]) <= 16
+
+
+def _simhash64_reference(t: str) -> int:
+    """The original per-token implementation (round 1), kept verbatim as
+    the parity oracle for the vectorized kernel."""
+    import zlib
+
+    if not t:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in t.split():
+        data = tok.encode("utf-8")
+        h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data, 0xABCD))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == np.uint64(1), 1, -1)
+    sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_vectorized_parity(spark):
+    """Vectorized simhash64 must be bit-identical to the original
+    per-token implementation on varied inputs (empty, whitespace-only,
+    unicode, long, repeated tokens)."""
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "Žünder", "gamma42", "the", "of", "xx", "yyy"]
+    texts = [
+        "",
+        "   ",
+        "single",
+        "the the the the of of",
+        "Müller Gmbh works for Žünder Aß",
+        " ".join(vocab[i % len(vocab)] for i in range(5000)),
+    ] + [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 200)))
+        for _ in range(50)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.simhash for r in similarity.simhash_docs(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash64_reference(t), (i, t[:50])
+
+
+def test_media_pluggable_fetcher_and_drop_rate(spark, docs):
+    """Inject a fake fetcher (nulls every 3rd payload) and check the
+    dropped/corrupt-payload rate surfaces in the metrics counters."""
+    from canonicity_spark import extract
+
+    def flaky_fetcher(media):
+        synthetic = media.transform(media_mod_synthetic)
+        return synthetic.withColumn(
+            "payload",
+            F.when(F.pmod(F.xxhash64("media_ref"), F.lit(3)) == 0, None).otherwise(
+                F.col("payload")
+            ),
+        )
+
+    def media_mod_synthetic(m):
+        return media.synthetic_fetcher(m)
+
+    spans = extract.explode_spans(docs)
+    payloads = media.fetch_payloads(spans, fetcher=flaky_fetcher)
+    obs: dict = {}
+    feats = media.decode_features(payloads, observations=obs)
+    n_out = feats.count()  # materialize -> observations populate
+    m = media.drop_rate_metrics(obs)
+    n_media = spans.filter(F.col("kind") != "text").count()
+    n_nulled = payloads.filter(F.col("payload").isNull()).count()
+    assert m["media_rows_in"] == n_media
+    assert m["media_rows_out"] == n_out == n_media - n_nulled
+    assert m["media_dropped"] == n_nulled > 0
+    assert 0 < m["media_drop_rate"] < 1
 
 
 def test_media_plumbing(spark, docs):
