@@ -371,7 +371,13 @@ def _parse_span_batches(batches):
             pc.cast(obj_begin, pa.int32()),
             is_lit,
         ]
-        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+        out = pa.RecordBatch.from_arrays(arrays, names=out_names)
+        # Emit in bounded slices: one input batch fans out ~9 sentences
+        # per doc, and a single huge Arrow IPC message both spikes JVM
+        # reader memory and maximizes exposure to socket-stream stalls
+        # mid-message. Slices are zero-copy.
+        for lo2 in range(0, out.num_rows, 16384):
+            yield out.slice(lo2, 16384)
 
 
 def parsed_sentences(docs: DataFrame) -> DataFrame:
@@ -400,17 +406,19 @@ def extract_mentions(parsed: DataFrame) -> DataFrame:
         F.col("obj_surface").alias("surface"),
         (F.col("sent_begin") + F.col("obj_begin")).alias("begin"),
     )
-    pair = F.filter(
-        F.array(subj, F.when(F.col("obj_is_literal") == 0, obj)),
-        lambda m: m.isNotNull(),
-    )
+    # No filter-HOF here: higher-order functions are CodegenFallback
+    # (interpreted per row) — explode the 2-element array including the
+    # null literal-object slot and drop nulls with a codegen'd Filter
+    # instead (measured: the HOF made the mention derive the slowest
+    # expression in the pipeline).
+    pair = F.array(subj, F.when(F.col("obj_is_literal") == 0, obj))
     m = parsed.select(
         "doc_id",
         "span_idx",
         "sent_id",
         F.col("s_text").alias("context"),
         F.explode(pair).alias("_m"),
-    ).select(
+    ).filter(F.col("_m").isNotNull()).select(
         "doc_id",
         "span_idx",
         "sent_id",

@@ -36,7 +36,16 @@ class PipelineConf:
     stage_wall: dict[str, float] = field(default_factory=dict)
 
 
-STAGES = ["mentions", "raw_triples", "surface_links", "labels", "surface_map", "triples", "entities"]
+STAGES = [
+    "parsed",
+    "mentions",
+    "raw_triples",
+    "surface_links",
+    "labels",
+    "surface_map",
+    "triples",
+    "entities",
+]
 
 
 def input_fingerprint(docs: DataFrame, conf: PipelineConf) -> str:
@@ -93,12 +102,15 @@ def run(
     docs = extract.ensure_parallelism(docs, "doc_id")
 
     try:
-        # the parse is recomputed per extract stage on purpose: the
-        # fused Arrow parse (extract._parse_span_batches) is cheaper to
-        # re-run than to cache — persisting ~2 rows/doc of parsed
-        # sentences is memory-bandwidth/GC-bound and measured slower at
-        # every parallelism level than a second columnar pass.
-        parsed = extract.parsed_sentences(docs)
+        # The parse runs ONCE, materialized as its own stage table
+        # (round 1 re-parsed per extract stage; a zstd parquet stage
+        # write + columnar read-back is measured cheaper than a second
+        # full parse, unlike the in-memory .persist() that round 1
+        # correctly rejected — row-oriented cache blocks of ~2 rows/doc
+        # were memory-bandwidth/GC-bound). Also gives resume a
+        # checkpoint BEFORE the derive stages.
+        parsed = stage("parsed", lambda: extract.parsed_sentences(docs))
+        check_stop("parsed")
 
         mentions = stage("mentions", lambda: extract.extract_mentions(parsed))
         check_stop("mentions")

@@ -32,6 +32,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Reuse Python workers so iterator-UDF state (gazetteers, models)
     # is loaded once per worker, not once per batch.
     "spark.python.worker.reuse": "true",
+    # A Python worker that dies mid-task dumps its stack instead of
+    # leaving the JVM blocked on a half-read Arrow message with no
+    # trace (observed once in ~10 runs at local[2] during round 2).
+    "spark.python.worker.faulthandler.enabled": "true",
     # Nested-schema pruning: project only the span fields we touch so
     # the parquet scan of array<struct> reads fewer pages.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
@@ -120,6 +124,15 @@ def build(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    # Shuffle/spill scratch space. In local mode everything lands on one
+    # shared disk whose bandwidth does NOT scale with task threads — on
+    # a real cluster each executor brings its own local disks, so I/O
+    # bandwidth scales with executor count. SPARK_GRAFT_LOCAL_DIR (e.g.
+    # a tmpfs path) removes that single-disk sandbox artifact for
+    # scaling measurements.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        conf.setdefault("spark.local.dir", local_dir)
     if master and master.startswith("local"):
         # local mode = driver JVM does all executor work; the 1g default
         # heap GC-thrashes once tens of task threads run concurrently.

@@ -62,6 +62,57 @@ def test_cc_equals_union_find_random_graphs(spark, data):
     assert got == _cc_py(pairs)
 
 
+def _segment_py(t):
+    """Pure-Python mirror of the finditer('[^.]+\\.') reference."""
+    import re
+
+    if t is None:
+        return []
+    out = []
+    for i, m in enumerate(re.finditer(r"[^.]+\.", t)):
+        raw = m.group(0)
+        lstrip = len(raw) - len(raw.lstrip())
+        out.append((i, raw.strip(), m.start() + lstrip))
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab .\n\tÄ.")),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segmentation_matches_python_on_arbitrary_text(spark, texts):
+    """All Spark segmentation paths must equal the pure-Python finditer
+    reference on arbitrary period/whitespace soup (hypothesis)."""
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.doc_id, r.s.sent_id, r.s.s_text, r.s.s_begin)
+        for r in df.select(
+            "doc_id", F.explode(extract.segment_sentences_expr(F.col("text"))).alias("s")
+        ).collect()
+    }
+    want = {
+        (str(i), sid, stext, sbegin)
+        for i, t in enumerate(texts)
+        for sid, stext, sbegin in _segment_py(t)
+    }
+    assert got == want
+
+
 def test_link_score_spark_equals_python(spark):
     """The fixture generator guarantees goldens under fixtures.link_score;
     this pins the Spark scorer to the same function on fixture data."""

@@ -37,7 +37,7 @@ def test_kill_and_resume_byte_identical(spark, docs, alias_dict, tmp_path):
     # run 1: killed after linking
     c1 = pipeline.PipelineConf(work_dir=wd_killed, stop_after="surface_links")
     assert pipeline.run(spark, docs, alias_dict, c1) is None
-    assert c1.stages_run == ["mentions", "raw_triples", "surface_links"]
+    assert c1.stages_run == ["parsed", "mentions", "raw_triples", "surface_links"]
 
     # run 2: resume — must only compute the remaining stages
     c2 = pipeline.PipelineConf(work_dir=wd_killed)
