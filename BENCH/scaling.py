@@ -23,16 +23,16 @@ engine behavior):
 3. **Input prewarm.** The corpus is read through the page cache before
    every timed run, so both levels read at RAM speed (on a cluster,
    input bandwidth scales with nodes; a cold single-disk read does not).
-4. **N=1 vs 4N=4 by default.** Measured on this host (BENCH notes in
-   BASELINE.md): per-core throughput of memory-bandwidth-heavy work
-   (Arrow transfer + parquet decode + numpy kernels) drops ~8-12% once
-   ~16 hardware threads are memory-active and collapses ~3x near 32.
+4. **N=2 vs 4N=8 by default.** Both levels leave host headroom:
    local[K] runs ~2K memory-active threads (K JVM task threads + K
-   Python UDF workers), so 2v8 already pays a DRAM-saturation penalty
-   at the 4N level that a real 4N-executor cluster (4x the memory
-   controllers) would not. 1v4 keeps both levels in the linear regime.
-   Set SPARK_GRAFT_SCALE_N to override (the 2v8 result is also
-   reported for transparency when SPARK_GRAFT_SCALE_BOTH=1).
+   Python UDF workers), and measured on this host, per-core throughput
+   of memory-bandwidth-heavy work (Arrow transfer + parquet decode +
+   numpy kernels) is flat to ~8 active threads, drops ~8-12% by ~16,
+   and collapses ~3x near 32 — DRAM saturation a real 4N-executor
+   cluster (4x the memory controllers) would not hit. 2v8 keeps the
+   4N level just inside the acceptable regime while N stays long
+   enough to dominate fixed costs. Set SPARK_GRAFT_SCALE_N to
+   override.
 
 Usage: python BENCH/scaling.py [n_docs]
 """
@@ -139,7 +139,7 @@ def main() -> None:
 
         fixtures.generate_parallel(corpus, n_docs=n_docs, seed=42, workers=12)
 
-    n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+    n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     lo, hi, lo_walls, hi_walls = measure(corpus, n_cores)
     eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
     speedup = lo["wall_sec"] / hi["wall_sec"]

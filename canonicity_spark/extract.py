@@ -375,9 +375,16 @@ def _parse_span_batches(batches):
         # Emit in bounded slices: one input batch fans out ~9 sentences
         # per doc, and a single huge Arrow IPC message both spikes JVM
         # reader memory and maximizes exposure to socket-stream stalls
-        # mid-message. Slices are zero-copy.
+        # mid-message. Slices are COMPACTED before the IPC write — a
+        # zero-copy slice carries parent offsets/buffers whose IPC
+        # serialization is the prime suspect in an observed
+        # header/body-length desync that wedged reader and writer in
+        # mutual recv.
         for lo2 in range(0, out.num_rows, 16384):
-            yield out.slice(lo2, 16384)
+            piece = out.slice(lo2, 16384)
+            yield pa.RecordBatch.from_arrays(
+                [pa.concat_arrays([c]) for c in piece.columns], names=out_names
+            )
 
 
 def parsed_sentences(docs: DataFrame) -> DataFrame:

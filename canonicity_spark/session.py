@@ -30,12 +30,36 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Reuse Python workers so iterator-UDF state (gazetteers, models)
-    # is loaded once per worker, not once per batch.
+    # is loaded once per worker, not once per batch. (reuse=false was
+    # tried against the stall below and did not prevent it, while
+    # costing ~1s of pyspark+pandas imports per task — ~70s/run at
+    # local[2].)
     "spark.python.worker.reuse": "true",
+    # Stall reaper #1 — purpose-built for the wedge observed here
+    # (~2/3 of long local[2] runs): JVM parked in readMessageBody on a
+    # half-received Arrow message, worker parked in recv, both forever.
+    # After 120s without transfer activity Spark declares the worker
+    # unresponsive and kills it; the task fails and retries on a fresh
+    # worker (local[K,4] allows 4 attempts), costing ~2 min instead of
+    # wedging a multi-hour run.
+    "spark.python.worker.idleTimeoutSeconds": "120",
+    "spark.python.worker.killOnIdleTimeout": "true",
     # A Python worker that dies mid-task dumps its stack instead of
     # leaving the JVM blocked on a half-read Arrow message with no
     # trace (observed once in ~10 runs at local[2] during round 2).
     "spark.python.worker.faulthandler.enabled": "true",
+    # Speculative execution as the stall reaper: the Arrow socket stall
+    # above wedges one task forever (JVM mid-readMessageBody, worker in
+    # recv) while every other slot idles. A speculative copy on another
+    # slot finishes the stage; the task commit protocol keeps exactly
+    # one output and the kernels are deterministic, so duplicated work
+    # is byte-identical. On a real cluster this also covers slow/sick
+    # executors. multiplier 4 / quantile 0.75: only clear outliers
+    # respawn (a healthy 60-task stage never triggers it).
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.75",
+    "spark.speculation.interval": "1s",
     # Nested-schema pruning: project only the span fields we touch so
     # the parquet scan of array<struct> reads fewer pages.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
