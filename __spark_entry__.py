@@ -198,9 +198,27 @@ def q_r4_semi_join(spark, sf):
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
 
 
-def q_r5_anti_join(spark, sf):
+def q_r5_anti_except(spark, sf):
+    """R5+R18 combined, with discriminating (non-empty) results — the
+    round-2 versions both matched on 0 rows, which verifies nothing
+    (VERDICT round 2 'What's wrong' #4). The anti side keeps customers
+    with no big order; the except side keeps order custkeys with
+    EXCEPT ALL multiset semantics (multiplicity = non-F order count)."""
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") >= 150000)
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("k"), F.lit("anti").alias("op")
+    )
+    exc = (
+        o.select(F.col("o_custkey").alias("k"))
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_custkey").alias("k")
+            )
+        )
+        .select("k", F.lit("except").alias("op"))
+    )
+    return anti.unionByName(exc)
 
 
 def q_r6_self_join(spark, sf):
@@ -268,23 +286,17 @@ def q_r13_window_rank(spark, sf):
     )
 
 
-def q_r14_window_lag(spark, sf):
+def q_r14_window_lag_frame(spark, sf):
+    """R14+R15 combined (same partitioning/order, so one window sort
+    serves both): lag delta + 3-row rolling-frame sum."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
     return e.select(
         "event_id",
         F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.round(F.sum("value").over(wf), 2).alias("roll3"),
     )
-
-
-def q_r15_window_frame(spark, sf):
-    e = _t(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("roll3"))
 
 
 def q_r16_topk(spark, sf):
@@ -300,13 +312,6 @@ def q_r17_union(spark, sf):
     c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
     return c.select(F.col("c_name").alias("name"), F.lit("customer").alias("kind")).unionByName(
         s.select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
-    )
-
-
-def q_r18_except(spark, sf):
-    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return c.select(F.col("c_custkey").alias("k")).exceptAll(
-        o.select(F.col("o_custkey").alias("k"))
     )
 
 
@@ -332,19 +337,19 @@ def q_f1_string(spark, sf):
 
 
 def q_f2_hash_portable(spark, sf):
+    """Portable hashes per row + the xxhash64 injectivity check folded
+    in as a broadcast scalar column (xxhash64 has no DuckDB twin, so it
+    is checked via distinct-cardinality parity — collision-free on this
+    key space; folded from the round-2 f2_hash_cardinality query to fit
+    the driver's 50-entry window)."""
     c = _t(spark, sf, "customer")
-    return c.select(
+    xx = c.agg(F.countDistinct(F.xxhash64("c_name")).alias("n_xx_distinct"))
+    return c.crossJoin(F.broadcast(xx)).select(
         "c_custkey",
         F.sha2(F.col("c_name"), 256).alias("sha"),
         F.md5("c_name").alias("md5"),
+        "n_xx_distinct",
     )
-
-
-def q_f2_hash_cardinality(spark, sf):
-    """xxhash64 has no DuckDB twin; check it injectively via distinct
-    cardinality parity (collision-free on this key space)."""
-    c = _t(spark, sf, "customer")
-    return c.agg(F.countDistinct(F.xxhash64("c_name")).alias("n_distinct"))
 
 
 def q_f3_array_hof(spark, sf):
@@ -427,13 +432,11 @@ def q_ta_fingerprint(spark, sf):
 
 
 def q_dd_exact_dedup(spark, sf):
-    return textops.exact_dedup(_t(spark, sf, "documents"), ["lang", "source"])
-
-
-def q_dd_exact_text_dupes(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.agg(
-        (F.count("*") - F.countDistinct("text")).alias("n_dupes")
+    """Exact dedup groups + the per-group distinct-text count (folds in
+    the round-2 dd_exact_text_dupes check: sum over groups of
+    n_dupes - n_distinct_text == corpus-level exact text dupes)."""
+    return textops.exact_dedup(
+        _t(spark, sf, "documents"), ["lang", "source"], distinct_of="text"
     )
 
 
@@ -535,18 +538,22 @@ def q_mm_media_features(spark, sf):
     return media.decode_features(payloads)
 
 
-def q_dd_minhash_pairs(spark, sf):
-    """MinHash-LSH near-dup candidates (no SQL oracle — rows-only check)."""
-    return similarity.minhash_near_dup_pairs(_t(spark, sf, "documents"))
-
-
 def q_dd_near_dup_verified(spark, sf):
-    """LSH candidates + exact 5-gram jaccard verify, thresholded at 0.8
-    — the post-threshold set is deterministic (fixed MinHash seeds) and
-    SQL-expressible, so the full dedup path gets a value-level oracle
-    (round-1 VERDICT asked for exactly this upgrade)."""
+    """LSH candidates + exact 5-gram jaccard verify, thresholded — the
+    post-threshold set is deterministic (fixed MinHash seeds) and
+    SQL-expressible, so the full dedup path gets a value-level oracle.
+
+    Oracle-soundness precondition (ADVICE round 2): the DuckDB oracle
+    computes ALL pairs >= threshold, while the Spark side only verifies
+    MinHash-LSH candidates (16 bands x 8 rows) minus hot buckets. The
+    threshold is therefore set at 0.9, where the S-curve miss
+    probability for a boundary pair is 1-(1-(1-0.9^8)^16) ~ 1.2e-4
+    (vs ~5% at 0.8) — boundary-adjacent regenerated data can no longer
+    make the value check flake. Hot-bucket exclusion (>200 docs sharing
+    a band hash) remains the only divergence and cannot trigger on
+    corpora without >200-way boilerplate duplication."""
     return similarity.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.8
+        _t(spark, sf, "documents"), threshold=0.9
     )
 
 
@@ -576,11 +583,32 @@ def q_l4_band_join(spark, sf):
 
 
 def q_dd_simhash(spark, sf):
-    """SimHash fingerprints (no SQL oracle — rows-only check)."""
+    """SimHash fingerprints. Oracle-checked at value level since round 3:
+    the per-token hash basis is the first 16 hex chars of md5 (portable),
+    so DuckDB can rebuild the exact 64-bit fingerprint from bit votes."""
     return similarity.simhash_docs(_t(spark, sf, "documents"))
 
 
+def q_dd_simhash_pairs(spark, sf):
+    """Banded SimHash near-dup pairs (VERDICT round 2 #5): 4x16-bit band
+    split -> bucket self-join -> exact hamming <= 3 verify. Pigeonhole
+    makes the banding LOSSLESS at this setting (3 differing bits touch
+    at most 3 of 4 bands, so one band always matches), and the oracle
+    replicates the hot-bucket guard, so the SQL twin is exact — not a
+    recall-dependent approximation."""
+    return similarity.simhash_pairs(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Q]:
+    # Exactly 50 entries — the driver records the first 50, so the
+    # architecture-proving KG-core queries (CC, salted agg, band join,
+    # media plumbing) sit right behind kg_pipeline instead of past the
+    # cap (VERDICT round 2 #1). Redundant round-2 queries were FOLDED,
+    # not dropped: r14+r15 -> r14_window_lag_frame, r5+r18 ->
+    # r5_anti_except (now discriminating/non-empty), f2_hash_cardinality
+    # -> a column of f2_hash_portable, dd_exact_text_dupes -> a column
+    # of dd_exact_dedup; dd_minhash_pairs' candidate stage runs inside
+    # dd_near_dup_verified (and stays pinned by pytest + bench).
     return {
         # pipeline operators
         "s1_scan": q_s1_scan,
@@ -592,28 +620,31 @@ def queries() -> dict[str, Q]:
         "n1_normalize": q_n1_normalize,
         "n5_media_triples": q_n5_media_triples,
         "kg_pipeline": q_kg_pipeline,
+        # KG-core operator proofs (kept inside the driver window)
+        "g3_cc_star": q_g3_cc_star,
+        "g6_salted_min": q_g6_salted_min,
+        "l4_band_join": q_l4_band_join,
+        "mm_media_features": q_mm_media_features,
+        "l1_link_exact": q_l1_link_exact,
         # relational surface
         "r1_join_broadcast": q_r1_join_broadcast,
         "r2_join_shuffle": q_r2_join_shuffle,
         "r3_left_join": q_r3_left_join,
         "r4_semi_join": q_r4_semi_join,
-        "r5_anti_join": q_r5_anti_join,
+        "r5_anti_except": q_r5_anti_except,
         "r6_self_join": q_r6_self_join,
         "r8_agg_q1": q_r8_agg_q1,
         "r9_distinct": q_r9_distinct,
         "r10_collect_sorted": q_r10_collect_sorted,
         "r11_max_by": q_r11_max_by,
         "r13_window_rank": q_r13_window_rank,
-        "r14_window_lag": q_r14_window_lag,
-        "r15_window_frame": q_r15_window_frame,
+        "r14_window_lag_frame": q_r14_window_lag_frame,
         "r16_topk": q_r16_topk,
         "r17_union": q_r17_union,
-        "r18_except": q_r18_except,
         "r19_dedup": q_r19_dedup,
         # scalar functions
         "f1_string": q_f1_string,
         "f2_hash_portable": q_f2_hash_portable,
-        "f2_hash_cardinality": q_f2_hash_cardinality,
         "f3_array_hof": q_f3_array_hof,
         "f3_shingles": q_f3_shingles,
         "f4_json": q_f4_json,
@@ -626,22 +657,14 @@ def queries() -> dict[str, Q]:
         "ta_lang_id": q_ta_lang_id,
         "ta_fingerprint": q_ta_fingerprint,
         "dd_exact_dedup": q_dd_exact_dedup,
-        "dd_exact_text_dupes": q_dd_exact_text_dupes,
+        "dd_near_dup_verified": q_dd_near_dup_verified,
+        "dd_simhash": q_dd_simhash,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_pairs_exact": q_ann_cosine_pairs_exact,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "dd_embedding_near_dup": q_dd_embedding_near_dup,
         "u4_centroid_norm": q_u4_centroid_norm,
-        "dd_minhash_pairs": q_dd_minhash_pairs,
-        "dd_near_dup_verified": q_dd_near_dup_verified,
-        "dd_simhash": q_dd_simhash,
-        # pipeline operators with relational twins
-        "l1_link_exact": q_l1_link_exact,
-        "l4_band_join": q_l4_band_join,
-        "g3_cc_star": q_g3_cc_star,
-        "g6_salted_min": q_g6_salted_min,
-        # multimodal plumbing
-        "mm_media_features": q_mm_media_features,
     }
 
 
@@ -712,9 +735,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
-        "r5_anti_join": """
-            SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        "r5_anti_except": """
+            SELECT c_custkey AS k, 'anti' AS op FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice >= 150000)
+            UNION ALL
+            SELECT k, 'except' AS op FROM (
+                SELECT o_custkey AS k FROM orders
+                EXCEPT ALL
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            )
         """,
         "r6_self_join": """
             SELECT a.l_orderkey, count(*) AS n_pairs
@@ -754,13 +785,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rn <= 3
         """,
-        "r14_window_lag": """
+        "r14_window_lag_frame": """
             SELECT event_id,
-                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
-            FROM events
-        """,
-        "r15_window_frame": """
-            SELECT event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
                    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
             FROM events
@@ -774,11 +801,6 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s_name AS name, 'supplier' AS kind FROM supplier
         """,
-        "r18_except": """
-            SELECT c_custkey AS k FROM customer
-            EXCEPT ALL
-            SELECT o_custkey AS k FROM orders
-        """,
         "r19_dedup": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         """,
@@ -791,10 +813,9 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "f2_hash_portable": """
-            SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5 FROM customer
-        """,
-        "f2_hash_cardinality": """
-            SELECT count(DISTINCT c_name) AS n_distinct FROM customer
+            SELECT c_custkey, sha256(c_name) AS sha, md5(c_name) AS md5,
+                   (SELECT count(DISTINCT c_name) FROM customer) AS n_xx_distinct
+            FROM customer
         """,
         "f3_array_hof": """
             SELECT p_partkey,
@@ -875,11 +896,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dd_exact_dedup": """
-            SELECT lang, source, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes
+            SELECT lang, source, min(doc_id) AS canonical_doc_id, count(*) AS n_dupes,
+                   count(DISTINCT text) AS n_distinct_text
             FROM documents GROUP BY lang, source
-        """,
-        "dd_exact_text_dupes": """
-            SELECT count(*) - count(DISTINCT text) AS n_dupes FROM documents
         """,
         "ann_cosine_topk": """
             SELECT vec_id, round(
@@ -950,10 +969,10 @@ def oracle_sql() -> dict[str, str]:
                              len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
                 FROM sz a, sz b
                 -- lossless prefilter: jaccard <= min(n)/max(n), so pairs
-                -- failing this cannot round up to 0.8 (0.79 margin)
+                -- failing this cannot round up to 0.9 (0.89 margin)
                 WHERE a.doc_id < b.doc_id
-                  AND a.n >= 0.79 * b.n AND b.n >= 0.79 * a.n
-            ) WHERE jaccard >= 0.8
+                  AND a.n >= 0.89 * b.n AND b.n >= 0.89 * a.n
+            ) WHERE jaccard >= 0.9
         """,
         "l4_band_join": """
             WITH probe AS (
@@ -976,11 +995,85 @@ def oracle_sql() -> dict[str, str]:
                    p.norm_surface, g.cand_alias
             FROM probe p JOIN guarded g USING (band_id, band_hash)
         """,
-        # dd_minhash_pairs / dd_simhash / dd_embedding_near_dup /
-        # ann_ivf_topk / mm_media_features intentionally omitted:
-        # MinHash banding, SimHash, sign-LSH bucketing, IVF probing and
-        # the xxhash64-derived media payloads are not SQL-expressible
-        # (or approximate by design); the driver records the weaker
+        # SimHash: the per-token hash is the first 16 hex chars of
+        # md5(token), so DuckDB rebuilds the exact 64-bit fingerprint:
+        # per-(token,bit) +-1 votes -> bit = (vote sum > 0) -> UBIGINT
+        # fingerprint -> two's-complement BIGINT (Spark's long).
+        "dd_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                          t -> t <> '')) AS tok
+                FROM documents
+            ), votes AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (('0x' || substring(md5(tok), 1, 16))::UBIGINT
+                                      >> b.bit) & 1 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM toks, (SELECT unnest(range(0, 64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0
+                           THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                           ELSE 0 END) AS ufp
+                FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(fp.ufp, 0) >= 9223372036854775808
+                             THEN coalesce(fp.ufp, 0) - 18446744073709551616
+                             ELSE coalesce(fp.ufp, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        # Banded SimHash pairs: 4x16-bit bands from the same rebuilt
+        # fingerprint, the SAME hot-bucket guard (>1000), then exact
+        # hamming <= 3. Pigeonhole (3 diff bits < 4 bands) makes banding
+        # lossless, so this oracle is exact, not recall-dependent.
+        "dd_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                          t -> t <> '')) AS tok
+                FROM documents
+            ), votes AS (
+                SELECT doc_id, b.bit,
+                       sum(CASE WHEN (('0x' || substring(md5(tok), 1, 16))::UBIGINT
+                                      >> b.bit) & 1 = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM toks, (SELECT unnest(range(0, 64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), fpt AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                           THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                           ELSE 0 END) AS UBIGINT) AS ufp
+                FROM votes GROUP BY doc_id
+            ), fp AS (
+                SELECT d.doc_id, coalesce(fpt.ufp, CAST(0 AS UBIGINT)) AS ufp
+                FROM documents d LEFT JOIN fpt USING (doc_id)
+            ), bands AS (
+                SELECT doc_id, ufp, b.band_id,
+                       (ufp >> (b.band_id * 16)) & 65535 AS band_val
+                FROM fp, (SELECT unnest(range(0, 4)) AS band_id) b
+            ), hot AS (
+                SELECT band_id, band_val FROM bands
+                GROUP BY band_id, band_val HAVING count(*) > 1000
+            ), guarded AS (
+                SELECT bands.* FROM bands ANTI JOIN hot USING (band_id, band_val)
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.ufp AS ua, b.ufp AS ub
+                FROM guarded a JOIN guarded b USING (band_id, band_val)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(ua, ub)) <= 3
+        """,
+        # dd_embedding_near_dup / ann_ivf_topk / mm_media_features
+        # intentionally omitted: sign-LSH bucketing and IVF probing are
+        # approximate by design, and the media payloads derive from
+        # xxhash64 (no DuckDB twin); the driver records the weaker
         # rows-only check, and tests/unit pin their behavior (IVF recall
-        # vs brute force, LSH recall on planted near-dups).
+        # vs brute force, LSH recall on planted near-dups, media batch
+        # shape/determinism).
     }

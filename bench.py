@@ -92,10 +92,21 @@ def main() -> None:
         "r13_window_rank",
         "ann_cosine_topk",
         "ta_quality",
-        "dd_minhash_pairs",
         "u4_centroid_norm",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    # the MinHash candidate stage folded into dd_near_dup_verified in
+    # the registry (driver 50-entry window); keep timing it directly
+    # under the same name for round-over-round comparability
+    from canonicity_spark import similarity
+
+    timed(
+        "dd_minhash_pairs",
+        lambda: similarity.minhash_near_dup_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(N_BENCH_DOCS / timings["kg_pipeline_synth"], 1)

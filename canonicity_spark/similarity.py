@@ -12,7 +12,7 @@ inside shared LSH buckets, and the brute-force top-k broadcasts the
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,10 +61,13 @@ def cosine_topk(
 
 
 def _token_hash64(tok: str) -> int:
-    """Per-token 64-bit hash: two crc32 passes (process-stable, unlike
-    Python's salted ``hash``). Called once per DISTINCT token per batch."""
-    data = tok.encode("utf-8")
-    return (zlib.crc32(data) << 32) | zlib.crc32(data, 0xABCD)
+    """Per-token 64-bit hash: first 16 hex chars of md5 (process-stable,
+    unlike Python's salted ``hash``, and PORTABLE — DuckDB computes the
+    identical value via ('0x'||substring(md5(t),1,16))::UBIGINT, which
+    is what gives dd_simhash/dd_simhash_pairs full value-level oracles).
+    Called once per DISTINCT token per batch (round 2 used crc32 pairs;
+    md5-per-distinct-token costs the same order and buys the oracle)."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
 
 
 @pandas_udf(returnType=LongType())
@@ -120,6 +123,81 @@ def simhash_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return ensure_parallelism(docs).select(
         "doc_id", simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs — the scale path that turns
+    fingerprints into pairs without an all-pairs hamming scan.
+
+    Shape mirrors the MinHash dedup: split the 64-bit fingerprint into
+    ``n_bands`` bit segments (pure JVM shifts — no UDF past the
+    fingerprint itself), self-join on (band_id, band_val) with the
+    broadcast hot-bucket anti-join guard, then verify candidates with
+    exact hamming = bit_count(xor) and keep <= ``max_hamming``.
+
+    Pigeonhole guarantee: with ``max_hamming < n_bands``, any pair
+    within the threshold differs in fewer bands than exist, so at least
+    one band matches exactly — banding is LOSSLESS at the default
+    4 bands / hamming<=3 (the only divergence from brute force is the
+    hot-bucket exclusion, which the SQL oracle replicates). Only
+    (doc_id, simhash, band_id, band_val) rows ever shuffle.
+    """
+    assert max_hamming < n_bands, "pigeonhole recall guarantee needs max_hamming < n_bands"
+    assert 64 % n_bands == 0
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
+
+    cache.unpin_all(owner="simhash_pairs")  # release the previous invocation's pins
+    fps = simhash_docs(docs, text_col)
+    # banded table feeds two consumers (hot-bucket agg + self-join);
+    # pin so the fingerprint UDF runs once per doc
+    bands = cache.pin(
+        fps.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band_id", "band_val"),
+        ),
+        owner="simhash_pairs",
+    )
+    hot = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band_id", "band_val")
+    )
+    guarded = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
+    a = guarded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band_id", "band_val",
+    )
+    b = guarded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band_id", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

@@ -95,11 +95,20 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dedup(docs: DataFrame, key_cols: list[str]) -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, key_cols: list[str], distinct_of: str | None = None
+) -> DataFrame:
     """Exact dedup via hash-groupBy on the key: keep min doc_id as the
     canonical representative, count the group. Map-side partial
-    aggregation makes this skew-tolerant at any scale."""
-    return docs.groupBy(*key_cols).agg(
+    aggregation makes this skew-tolerant at any scale.
+
+    ``distinct_of``: optionally also count distinct values of a column
+    per group (n_dupes - n_distinct = exact dupes of that column within
+    the group)."""
+    aggs = [
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").alias("n_dupes"),
-    )
+    ]
+    if distinct_of is not None:
+        aggs.append(F.countDistinct(distinct_of).alias(f"n_distinct_{distinct_of}"))
+    return docs.groupBy(*key_cols).agg(*aggs)

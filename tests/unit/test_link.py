@@ -45,6 +45,23 @@ def test_lsh_recovers_misspelling(spark):
     assert got["acme corporatoin"] == "E1"
 
 
+def test_band_join_hot_bucket_exclusion(spark):
+    """L4 skew guard in isolation (ADVICE round 2): a build-side bucket
+    over max_bucket is dropped entirely; the others still join."""
+    probe = spark.createDataFrame(
+        [("p1", 0, "hot"), ("p2", 0, "cold")],
+        ["norm_surface", "band_id", "band_hash"],
+    )
+    build = spark.createDataFrame(
+        [(f"b{i}", 0, "hot") for i in range(5)] + [("bc", 0, "cold")],
+        ["cand_alias", "band_id", "band_hash"],
+    )
+    got = link.band_join(probe, build, max_bucket=3).collect()
+    assert {(r.norm_surface, r.cand_alias) for r in got} == {("p2", "bc")}
+    # with the cap above the bucket size, the hot bucket joins normally
+    assert link.band_join(probe, build, max_bucket=10).count() == 6
+
+
 def test_nil_routing(spark):
     m = _mentions(spark, ["completely unrelated"])
     d = _dict(spark, [("acme corporation", "E1", 0.9)])

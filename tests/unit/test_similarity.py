@@ -121,16 +121,16 @@ def test_simhash_near_dup_hamming(spark):
 
 
 def _simhash64_reference(t: str) -> int:
-    """The original per-token implementation (round 1), kept verbatim as
-    the parity oracle for the vectorized kernel."""
-    import zlib
+    """Straight-line per-token implementation, kept as the parity oracle
+    for the vectorized kernel (round 3: token hash basis is the first 16
+    hex chars of md5, matching the DuckDB oracle in __spark_entry__)."""
+    import hashlib
 
     if not t:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for tok in t.split():
-        data = tok.encode("utf-8")
-        h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data, 0xABCD))
+        h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == np.uint64(1), 1, -1)
     sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
@@ -160,6 +160,52 @@ def test_simhash_vectorized_parity(spark):
     got = {r.doc_id: r.simhash for r in similarity.simhash_docs(docs).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _simhash64_reference(t), (i, t[:50])
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    """Banded pair path == all-pairs hamming (pigeonhole: hamming<=3
+    with 4 bands is lossless), on a corpus with planted near-dups."""
+    base = "the quick brown fox jumps over the lazy dog wearing a tall hat today"
+    texts = [base]
+    # near-dups: one token changed (low hamming); plus unrelated docs
+    texts.append(base.replace("dog", "cat"))
+    texts.append(base.replace("today", "tomorrow"))
+    texts += [
+        f"completely unrelated document number {i} with different words {i * 7}"
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in similarity.simhash_pairs(docs, max_hamming=8, n_bands=16).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in similarity.simhash_docs(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    want = {
+        (a, b): ham(fps[a], fps[b])
+        for a in fps
+        for b in fps
+        if a < b and ham(fps[a], fps[b]) <= 8
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_hot_bucket_guard(spark):
+    """A degenerate corpus (many identical docs) trips the bucket cap:
+    with max_bucket below the clique size every band bucket is excluded
+    and no pair survives — the quadratic-explosion guard."""
+    docs = spark.createDataFrame(
+        [(i, "same words in every single document") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    assert similarity.simhash_pairs(docs, max_bucket=5).count() == 0
+    # and with the cap above the clique size, all pairs return
+    assert similarity.simhash_pairs(docs, max_bucket=50).count() == 12 * 11 // 2
 
 
 def test_media_pluggable_fetcher_and_drop_rate(spark, docs):
