@@ -26,6 +26,25 @@ def tokens_col(text: str | F.Column = "text"):
     return F.split(F.trim(c), r"\s+")
 
 
+def stopword_hits(words: list[str], text: str | F.Column = "text") -> F.Column:
+    """Count whitespace-delimited tokens that are (case-insensitively)
+    in ``words`` — WITHOUT a filter-HOF.
+
+    ``F.filter(toks, lambda …)`` is CodegenFallback (interpreted, serial
+    — the hotspot class VERDICT round 2 flagged); this is a single
+    ``regexp_count`` that stays inside whole-stage codegen. The pattern
+    anchors each word between whitespace via zero-width lookarounds on a
+    space-padded copy of the text, so it counts exactly the tokens
+    ``split(trim(text), '\\s+')`` would yield — adjacent stopwords both
+    count because the separators are never consumed. Equality with the
+    token-list definition is pinned by the DuckDB oracles (which still
+    use the list form) and tests/props.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"(?i)(?<=\s)(?:" + "|".join(words) + r")(?=\s)"
+    return F.regexp_count(F.concat(F.lit(" "), c, F.lit(" ")), F.lit(pat))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token count, char count, average token length per document."""
     toks = tokens_col("text")
@@ -44,8 +63,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ratio, mean word length — the standard cheap pre-filter signals."""
     toks = tokens_col("text")
     n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_stop = stopword_hits(STOPWORDS["en"])
     n_digits = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
     return docs.select(
         "doc_id",
@@ -57,17 +75,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-free stopword-vote language ID: score = stopword hits per
-    language, argmax with deterministic tie-break on language code."""
-    toks = tokens_col("text")
-
-    def _is_stopword(ws: list[str]):
-        arr = F.array(*[F.lit(w) for w in ws])
-        # single-param lambda — a second param would make Spark pass the
-        # element index into it
-        return lambda t: F.array_contains(arr, F.lower(t))
-
+    language (one codegen-able regexp_count per language — no HOF),
+    argmax with deterministic tie-break on language code."""
     scores = [
-        F.size(F.filter(toks, _is_stopword(ws))).alias(f"score_{lang}")
+        stopword_hits(ws).alias(f"score_{lang}")
         for lang, ws in sorted(STOPWORDS.items())
     ]
     scored = docs.select("doc_id", *scores)

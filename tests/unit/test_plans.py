@@ -62,6 +62,16 @@ def test_relational_queries_stay_jvm_side(spark):
     assert "WholeStageCodegen" in final or "*(" in final, final[:500]
 
 
+def test_textops_have_no_interpreted_hof(spark):
+    """quality_score/lang_id must not contain lambda HOFs (filter/
+    aggregate with a lambda is CodegenFallback — an interpreted serial
+    hotspot in a per-document path; VERDICT round 2 'What's wrong' #1)."""
+    for name in ["ta_quality", "ta_lang_id"]:
+        plan = _plan(em.queries()[name](spark, SF)).lower()
+        assert "lambdafunction" not in plan, name
+        assert "arrayfilter" not in plan, name
+
+
 def test_triple_resolution_broadcasts_surface_map(spark, docs, alias_dict):
     """M1's surface-map joins must be broadcast at vocabulary scale."""
     from canonicity_spark import canonicalize, extract, link, materialize
