@@ -102,6 +102,36 @@ def test_ivf_topk_unclustered_still_finds_planted_dup(spark, embeddings):
     assert approx[0] == 100
 
 
+def test_ivf_build_query_split(spark, clustered_embeddings):
+    """Build once, query many (VERDICT round 2 #6): the cell assignment
+    is persisted and shared by a BATCH of queries — no per-query
+    re-assignment, no driver collect in the query path."""
+    index = similarity.build_ivf_index(clustered_embeddings, n_centroids=8)
+    # one assignment job, pinned for reuse across queries
+    assert index.assigned.storageLevel.useMemory
+    queries = clustered_embeddings.filter(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = similarity.ivf_query(
+        index, queries, k=5, n_probe=2, exclude_self=True
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1} and all(len(v) == 5 for v in by_q.values())
+    # the batch path agrees with the single-query wrapper
+    batch0 = [
+        r.vec_id for r in sorted(by_q[0], key=lambda r: (-r.cosine_sim, r.vec_id))
+    ]
+    single = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            clustered_embeddings, 0, k=5, n_centroids=8, n_probe=2
+        ).collect()
+    ]
+    assert batch0 == single
+
+
 def test_simhash_near_dup_hamming(spark):
     docs = spark.createDataFrame(
         [
