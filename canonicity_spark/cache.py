@@ -11,8 +11,13 @@ calling persist() bare, tagged with an *owner* scope. Release happens
   materialized by its action; scoping means a nested call — e.g.
   link.run inside a pipeline stage — never releases its caller's
   still-needed pins), and
-- in pipeline.run after each stage write via ``unpin_all()`` (the
-  stage output is parquet-backed, so every pinned upstream is done).
+- in pipeline.run after each stage write via ``mark()`` before the
+  stage's compute + ``release_new(snapshot)`` after the write: only
+  pins CREATED DURING that stage are released (the stage output is
+  parquet-backed, so those upstreams are done). A bare ``unpin_all()``
+  here would also release pins owned by unrelated, not-yet-materialized
+  operators in the same session (ADVICE round 2), silently downgrading
+  their one-pass guarantee to recompute-per-consumer.
 
 This bounds cached-block accumulation in a long-lived session to one
 invocation per operator instead of growing without bound.
@@ -30,6 +35,31 @@ def pin(df: DataFrame, owner: str = "default") -> DataFrame:
     df = df.persist()
     _PINNED.append((owner, df))
     return df
+
+
+def mark() -> set[int]:
+    """Snapshot of the currently-registered pins (by frame identity —
+    indices would shift under concurrent owner-scoped releases)."""
+    return {id(df) for _, df in _PINNED}
+
+
+def release_new(snapshot: set[int]) -> int:
+    """Unpersist every pin registered since ``snapshot`` (the scoped
+    post-stage release: pins that predate the stage stay pinned)."""
+    n = 0
+    keep = []
+    while _PINNED:
+        own, df = _PINNED.pop()
+        if id(df) in snapshot:
+            keep.append((own, df))
+            continue
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PINNED.extend(reversed(keep))
+    return n
 
 
 def unpin_all(owner: str | None = None) -> int:

@@ -153,12 +153,26 @@ def decode_features(
     return out
 
 
-def drop_rate_metrics(observations: dict) -> dict:
+def drop_rate_metrics(observations: dict, exact_rows_out: int | None = None) -> dict:
     """Metrics line for the decode stage: rows in/out + drop rate of
     corrupt/undecodable payloads. Read only after an action has
-    materialized the decode output."""
+    materialized the decode output.
+
+    APPROXIMATE under speculative execution (ADVICE round 2): observe
+    counters are accumulator-backed, and Spark merges updates from
+    every successful task attempt — with ``spark.speculation=true``
+    (the session default here, an Arrow-socket-stall reaper) a
+    speculative duplicate that also finishes can overcount either
+    counter. Treat these as telemetry; when an exact drop rate matters
+    (e.g. a data-quality gate), pass ``exact_rows_out`` from the
+    materialized output — a count() on the written stage table — which
+    then replaces the observed out-counter in the computed rate."""
     rows_in = observations["media_in"].get["rows"]
-    rows_out = observations["media_out"].get["rows"]
+    rows_out = (
+        exact_rows_out
+        if exact_rows_out is not None
+        else observations["media_out"].get["rows"]
+    )
     return {
         "media_rows_in": rows_in,
         "media_rows_out": rows_out,

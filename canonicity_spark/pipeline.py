@@ -14,12 +14,13 @@ from __future__ import annotations
 import hashlib
 import json
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from canonicity_spark import cache, canonicalize, extract, link, materialize
-from canonicity_spark.io_catalog import ParquetCatalog
+from canonicity_spark.io_catalog import ParquetCatalog, StageCatalog
 
 
 @dataclass
@@ -32,6 +33,11 @@ class PipelineConf:
     resume: bool = True
     # stop after this stage (for kill/resume tests); None = run all
     stop_after: str | None = None
+    # backend selection: (conf, fingerprint) -> StageCatalog; None =
+    # ParquetCatalog over work_dir. The whole stage graph goes through
+    # the shared StageCatalog protocol, so swapping in IcebergCatalog
+    # (production) or a test fake is config-only.
+    catalog_factory: Callable[["PipelineConf", str], StageCatalog] | None = None
     stages_run: list[str] = field(default_factory=list)
     stage_wall: dict[str, float] = field(default_factory=dict)
 
@@ -76,21 +82,28 @@ def run(
     entity_pool: DataFrame | None = None,
 ) -> DataFrame:
     """Run (or resume) the pipeline; returns the triples DataFrame."""
-    cat = ParquetCatalog(
-        conf.work_dir, run_id=conf.run_id, fingerprint=input_fingerprint(docs, conf)
-    )
+    fingerprint = input_fingerprint(docs, conf)
+    if conf.catalog_factory is not None:
+        cat = conf.catalog_factory(conf, fingerprint)
+    else:
+        cat = ParquetCatalog(
+            conf.work_dir, run_id=conf.run_id, fingerprint=fingerprint
+        )
 
     def stage(name: str, compute) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
             return cat.read_stage(spark, name)
         t0 = time.perf_counter()
+        pins_before = cache.mark()
         df = compute()
         conf.stages_run.append(name)
         out = cat.write_stage(df, name)
         conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
-        # the stage output is parquet-backed now — release any frames
-        # the stage pinned (link's surfaces/best etc.)
-        cache.unpin_all()
+        # the stage output is checkpoint-backed now — release the pins
+        # THIS stage created (link's surfaces/best etc.), and only
+        # those: an unscoped unpin_all here would also strip pins owned
+        # by unrelated lazy operators in the session (ADVICE round 2)
+        cache.release_new(pins_before)
         return out
 
     def check_stop(name: str):

