@@ -225,6 +225,10 @@ def test_cache_pin_scoped_release(spark):
     """pin/unpin registry: owner-scoped release, nothing leaks."""
     from canonicity_spark import cache
 
+    # earlier tests legitimately leave op-owned pins registered (they
+    # release at the op's NEXT invocation; pipeline stages now release
+    # only their own) — drain so the counts below are exact
+    cache.unpin_all()
     a = cache.pin(spark.range(10), owner="x")
     b = cache.pin(spark.range(20), owner="y")
     assert a.storageLevel.useMemory and b.storageLevel.useMemory
