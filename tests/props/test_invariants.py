@@ -113,6 +113,50 @@ def test_segmentation_matches_python_on_arbitrary_text(spark, texts):
     assert got == want
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            # stopwords, near-stopwords, punctuation-glued variants,
+            # digits and whitespace soup — the cases where a regex
+            # counter could diverge from the token-list definition
+            alphabet=st.sampled_from(list("the ofand.to,in a\nis\tit9")),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_stopword_hits_equals_token_filter(spark, texts):
+    """The codegen regexp counter (textops.stopword_hits) must equal
+    the HOF token-list definition it replaced, on arbitrary
+    whitespace/punctuation soup — pinning the de-HOF rewrite
+    (VERDICT round 2 #2) beyond the fixed driver corpus."""
+    from pyspark.sql import functions as F
+
+    from canonicity_spark import textops
+
+    ws = textops.STOPWORDS["en"]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.n)
+        for r in df.select(
+            "doc_id", textops.stopword_hits(ws).alias("n")
+        ).collect()
+    }
+    want = {
+        (str(i), sum(1 for tok in t.split() if tok.lower() in ws))
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
 def test_link_score_spark_equals_python(spark):
     """The fixture generator guarantees goldens under fixtures.link_score;
     this pins the Spark scorer to the same function on fixture data."""
