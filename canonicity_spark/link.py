@@ -93,7 +93,13 @@ def minhash_signature(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(out)
 
 
-def make_minhash_band_udf(k: int, n_bands: int, n_rows: int, shingle_n: int = 3):
+def make_minhash_band_udf(
+    k: int,
+    n_bands: int,
+    n_rows: int,
+    shingle_n: int = 3,
+    dense_max_shingles: int | None = None,
+):
     """L3+L4 fused — char-n-gram shingling, MinHash signature, and one
     hash per band of r rows, in a single vectorized iterator UDF over
     the raw string column.
@@ -112,6 +118,17 @@ def make_minhash_band_udf(k: int, n_bands: int, n_rows: int, shingle_n: int = 3)
     rows).
     """
     assert k == n_bands * n_rows
+    # Dense k-permutation MinHash is O(n_shingles * k) per input; OPH is
+    # O(n_shingles + k) but leaves e^(-n/k) of its buckets empty, and
+    # rotation densification correlates the bands, broadening the LSH
+    # S-curve. The 4k cutover is a MEASURED precision floor, not a perf
+    # knob: lowering it to 2k cut the sf0.1 banding stage 3.8s -> 2.8s
+    # but dropped 2 of 25 verified near-dup pairs at jaccard >= 0.9 on
+    # the sf0.01 corpus (OPH recall loss right at the threshold) — the
+    # wrong trade for a dedup path whose output is value-oracled. Below
+    # ~k shingles dense is outright required (linker-surface recall at
+    # jaccard ~0.5 dies under densification).
+    dense_max = 4 * k if dense_max_shingles is None else dense_max_shingles
 
     @pandas_udf(returnType=ArrayType(LongType()))
     def band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -133,7 +150,7 @@ def make_minhash_band_udf(k: int, n_bands: int, n_rows: int, shingle_n: int = 3)
                     win = np.lib.stride_tricks.sliding_window_view(buf, shingle_n)
                     hs = (win * weights[None, :]).sum(axis=1)  # wrap-mod 2^64
                 shingle_hashes = np.unique(hs).astype(np.int64) & mask
-                if len(shingle_hashes) <= 4 * k:
+                if len(shingle_hashes) <= dense_max:
                     # dense k-permutation MinHash: exact, cheap for short
                     # strings (linker surfaces)
                     sig = (

@@ -132,6 +132,29 @@ def test_ivf_build_query_split(spark, clustered_embeddings):
     assert batch0 == single
 
 
+def test_ivf_index_stage_written(spark, clustered_embeddings, tmp_path):
+    """Catalog-backed build: the assignment is a committed, resumable
+    stage table and the query path is unchanged."""
+    from canonicity_spark.io_catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "ivf"))
+    index = similarity.build_ivf_index(
+        clustered_embeddings, n_centroids=8, catalog=cat
+    )
+    assert cat.stage_committed("ivf_index")
+    # a fresh catalog over the same dir serves the index without rebuild
+    reread = similarity.IvfIndex(
+        ParquetCatalog(str(tmp_path / "ivf")).read_stage(spark, "ivf_index"),
+        index.centroids,
+    )
+    q = clustered_embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.ivf_query(index, q, k=5, n_probe=2, exclude_self=True).collect()
+    b = similarity.ivf_query(reread, q, k=5, n_probe=2, exclude_self=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 5
+
+
 def test_simhash_near_dup_hamming(spark):
     docs = spark.createDataFrame(
         [
