@@ -242,10 +242,18 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     (L4 skew guard); recall loss is logged by the caller via lineage.
     """
     def with_bands(df: DataFrame, text_col: str) -> DataFrame:
+        # posexplode_OUTER, deliberately: plain posexplode makes
+        # InferFiltersFromGenerate add `size(_bands)>0 AND isnotnull`,
+        # which Catalyst pushes below the repartition and re-evaluates
+        # the banding UDF a SECOND time on the raw scan partitioning
+        # (measured 2x the stage wall on the dedup path). The UDF always
+        # returns n_bands hashes (never null/empty — empty text yields
+        # zeros), so outer == inner here and the inferred filter is pure
+        # waste.
         return df.withColumn(
             "_bands", minhash_band_hashes(F.col(text_col))
         ).select(
-            "*", F.posexplode("_bands").alias("band_id", "band_hash")
+            "*", F.posexplode_outer("_bands").alias("band_id", "band_hash")
         ).drop("_bands")
 
     m_bands = with_bands(unmatched.select("norm_surface"), "norm_surface")

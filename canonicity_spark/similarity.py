@@ -158,11 +158,14 @@ def simhash_pairs(
     fps = simhash_docs(docs, text_col)
     # banded table feeds two consumers (hot-bucket agg + self-join);
     # pin so the fingerprint UDF runs once per doc
+    # posexplode_outer: the band array derives from the simhash UDF
+    # column; plain posexplode lets InferFiltersFromGenerate re-evaluate
+    # the fingerprint UDF below the repartition (see link.lsh_candidates)
     bands = cache.pin(
         fps.select(
             "doc_id",
             "simhash",
-            F.posexplode(
+            F.posexplode_outer(
                 F.array(
                     *[
                         F.shiftrightunsigned(F.col("simhash"), i * band_bits)
@@ -232,8 +235,12 @@ def minhash_near_dup_pairs(
     base = ensure_parallelism(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), normed.alias("_t"))
     )
+    # posexplode_OUTER: prevents InferFiltersFromGenerate from pushing
+    # a size/notnull filter below the repartition and re-running the
+    # banding UDF twice (see link.lsh_candidates — measured 2x wall);
+    # the UDF never returns null/empty arrays, so outer == inner.
     banded = base.withColumn("_bands", band_udf(F.col("_t"))).select(
-        "doc_id", F.posexplode("_bands").alias("band_id", "band_hash")
+        "doc_id", F.posexplode_outer("_bands").alias("band_id", "band_hash")
     )
     # The banded table feeds three consumers (hot-bucket aggregate and
     # both sides of the self-join); persist it so the signature UDF runs
@@ -330,8 +337,10 @@ def embedding_near_dup_pairs(
     """
     cache.unpin_all(owner="emb_dedup")  # release the previous invocation's pins
     udf = _hyperplane_buckets_udf(n_bands, band_bits, dim)
+    # explode_outer: same InferFiltersFromGenerate double-eval dodge as
+    # the MinHash banding (the UDF always returns n_bands buckets)
     banded = embeddings.select(
-        "vec_id", "embedding", F.explode(udf(F.col("embedding"))).alias("bucket")
+        "vec_id", "embedding", F.explode_outer(udf(F.col("embedding"))).alias("bucket")
     )
     hot = (
         banded.groupBy("bucket")
@@ -503,7 +512,9 @@ def ivf_query(
     probes = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(
+        # explode_outer: InferFiltersFromGenerate double-eval dodge
+        # (the probe UDF always returns n_probe cells)
+        F.explode_outer(
             _make_cell_udf(index.centroids, n_probe)(F.col("embedding"))
         ).alias("cell"),
     )
