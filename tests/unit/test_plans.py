@@ -72,6 +72,26 @@ def test_textops_have_no_interpreted_hof(spark):
         assert "arrayfilter" not in plan, name
 
 
+def test_udf_derived_explode_evaluates_udf_once(spark):
+    """Generate over a pandas-UDF-derived array must not trigger
+    InferFiltersFromGenerate's inferred size/notnull filter, which
+    Catalyst pushes below the repartition and re-evaluates the UDF a
+    second time on the raw scan (measured 2x the dedup stage wall).
+    lsh_candidates bands BOTH sides -> exactly two ArrowEvalPython
+    nodes; four means the double-eval regressed."""
+    from canonicity_spark import link
+
+    surfaces = spark.createDataFrame(
+        [(f"surface {i}",) for i in range(20)], ["norm_surface"]
+    )
+    alias_dict = spark.createDataFrame(
+        [(f"alias {i}", f"E{i}", 1.0) for i in range(20)],
+        ["alias", "entity_id", "prior"],
+    )
+    plan = _plan(link.lsh_candidates(surfaces, alias_dict))
+    assert plan.count("ArrowEvalPython") == 2, plan[:800]
+
+
 def test_triple_resolution_broadcasts_surface_map(spark, docs, alias_dict):
     """M1's surface-map joins must be broadcast at vocabulary scale."""
     from canonicity_spark import canonicalize, extract, link, materialize
