@@ -256,9 +256,16 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
             "*", F.posexplode_outer("_bands").alias("band_id", "band_hash")
         ).drop("_bands")
 
+    from canonicity_spark import cache
+
     m_bands = with_bands(unmatched.select("norm_surface"), "norm_surface")
-    a_bands = with_bands(
-        alias_dict.select("alias", "entity_id", "prior"), "alias"
+    # the dictionary band table feeds band_join TWICE (hot-bucket agg +
+    # guarded join); pin it so the banding UDF runs once over the
+    # dictionary, not twice (owner "link": released by link_surfaces'
+    # entry release / the pipeline's post-stage scoped release)
+    a_bands = cache.pin(
+        with_bands(alias_dict.select("alias", "entity_id", "prior"), "alias"),
+        owner="link",
     )
     pairs = band_join(m_bands, a_bands, _MAX_BUCKET)
     return pairs.select(

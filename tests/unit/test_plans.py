@@ -74,12 +74,12 @@ def test_textops_have_no_interpreted_hof(spark):
 
 def test_udf_derived_explode_evaluates_udf_once(spark):
     """Generate over a pandas-UDF-derived array must not trigger
-    InferFiltersFromGenerate's inferred size/notnull filter, which
-    Catalyst pushes below the repartition and re-evaluates the UDF a
-    second time on the raw scan (measured 2x the dedup stage wall).
-    lsh_candidates bands BOTH sides -> exactly two ArrowEvalPython
-    nodes; four means the double-eval regressed."""
-    from canonicity_spark import link
+    InferFiltersFromGenerate's inferred size/notnull filter — Catalyst
+    pushes it below the repartition and re-evaluates the UDF a second
+    time on the raw scan (measured 2x the dedup stage wall; fixed with
+    outer explodes). The regression marker is a Filter over the UDF
+    result: `size(pythonUDF...)` in the plan."""
+    from canonicity_spark import cache, link
 
     surfaces = spark.createDataFrame(
         [(f"surface {i}",) for i in range(20)], ["norm_surface"]
@@ -88,8 +88,13 @@ def test_udf_derived_explode_evaluates_udf_once(spark):
         [(f"alias {i}", f"E{i}", 1.0) for i in range(20)],
         ["alias", "entity_id", "prior"],
     )
-    plan = _plan(link.lsh_candidates(surfaces, alias_dict))
-    assert plan.count("ArrowEvalPython") == 2, plan[:800]
+    plans = [_plan(link.lsh_candidates(surfaces, alias_dict))]
+    cache.unpin_all(owner="link")
+    qs = em.queries()
+    for name in ["dd_near_dup_verified", "dd_simhash_pairs", "dd_embedding_near_dup"]:
+        plans.append(_plan(qs[name](spark, SF)))
+    for plan in plans:
+        assert "size(pythonUDF" not in plan, plan[:800]
 
 
 def test_triple_resolution_broadcasts_surface_map(spark, docs, alias_dict):
