@@ -210,6 +210,30 @@ def simhash_pairs(
 DOC_MINHASH_K, DOC_BANDS, DOC_ROWS = 128, 16, 8
 
 
+def _banded_docs(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared banding construction: (normalized texts, banded rows).
+
+    base: (doc_id, _t) — whitespace-normalized lowercase text;
+    banded: (doc_id, band_id, band_hash) — one row per LSH band.
+    """
+    from canonicity_spark.extract import ensure_parallelism
+    from canonicity_spark.link import make_minhash_band_udf
+
+    band_udf = make_minhash_band_udf(DOC_MINHASH_K, DOC_BANDS, DOC_ROWS, shingle_n=5)
+    normed = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+    base = ensure_parallelism(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), normed.alias("_t"))
+    )
+    # posexplode_OUTER: prevents InferFiltersFromGenerate from pushing
+    # a size/notnull filter below the repartition and re-running the
+    # banding UDF twice (see link.lsh_candidates — measured 2x wall);
+    # the UDF never returns null/empty arrays, so outer == inner.
+    banded = base.withColumn("_bands", band_udf(F.col("_t"))).select(
+        "doc_id", F.posexplode_outer("_bands").alias("band_id", "band_hash")
+    )
+    return base, banded
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame, text_col: str = "text", max_bucket: int = 200
 ) -> DataFrame:
@@ -225,23 +249,8 @@ def minhash_near_dup_pairs(
     Returns distinct (doc_a < doc_b) pairs with exact 5-gram jaccard
     (JVM-side) for thresholding.
     """
-    from canonicity_spark.link import make_minhash_band_udf
-
     cache.unpin_all(owner="minhash_dedup")  # release the previous invocation's pins
-    band_udf = make_minhash_band_udf(DOC_MINHASH_K, DOC_BANDS, DOC_ROWS, shingle_n=5)
-    from canonicity_spark.extract import ensure_parallelism
-
-    normed = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
-    base = ensure_parallelism(
-        docs.select(F.col("doc_id").cast("string").alias("doc_id"), normed.alias("_t"))
-    )
-    # posexplode_OUTER: prevents InferFiltersFromGenerate from pushing
-    # a size/notnull filter below the repartition and re-running the
-    # banding UDF twice (see link.lsh_candidates — measured 2x wall);
-    # the UDF never returns null/empty arrays, so outer == inner.
-    banded = base.withColumn("_bands", band_udf(F.col("_t"))).select(
-        "doc_id", F.posexplode_outer("_bands").alias("band_id", "band_hash")
-    )
+    base, banded = _banded_docs(docs, text_col)
     # The banded table feeds three consumers (hot-bucket aggregate and
     # both sides of the self-join); persist it so the signature UDF runs
     # once per doc, not three times. At cluster scale this is the stage
@@ -571,3 +580,104 @@ def ngram_jaccard_pairs(
     return minhash_near_dup_pairs(docs, text_col).filter(
         F.col("jaccard") >= threshold
     )
+
+
+class MinhashIndex:
+    """Banded fingerprint index of a corpus for INCREMENTAL dedup.
+
+    ``bands``: (doc_id, band_id, band_hash) — 16 small rows per doc;
+    ``texts``: (doc_id, _t) — normalized text, needed by the exact
+    verify step. Stage-written (durable) when built with a catalog.
+    """
+
+    def __init__(self, bands: DataFrame, texts: DataFrame):
+        self.bands = bands
+        self.texts = texts
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    catalog=None,
+    stage_prefix: str = "minhash_index",
+) -> MinhashIndex:
+    """Band a corpus ONCE and keep the result, so future increments
+    dedup against it without re-reading or re-banding the corpus — at
+    100 TB, re-banding the whole archive for every ingest batch is the
+    cost this removes. With ``catalog`` the two tables are committed
+    stage tables (resumable, readable by later sessions); without, they
+    are session-pinned."""
+    cache.unpin_all(owner="minhash_index")
+    base, banded = _banded_docs(docs, text_col)
+    if catalog is not None:
+        bands = catalog.write_stage(banded, f"{stage_prefix}_bands")
+        texts = catalog.write_stage(base, f"{stage_prefix}_texts")
+    else:
+        bands = cache.pin(banded, owner="minhash_index")
+        texts = cache.pin(base, owner="minhash_index")
+    return MinhashIndex(bands, texts)
+
+
+def minhash_near_dup_against(
+    index: MinhashIndex,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs touching at least one NEW
+    document — (new x indexed) and (new x new) — WITHOUT re-banding the
+    indexed corpus.
+
+    Exactly equivalent (pinned by test) to running the batch
+    ``minhash_near_dup_pairs`` over (indexed + new) and keeping the
+    pairs with a new side: band hashes are deterministic, and the
+    hot-bucket guard is computed over the UNION's bucket sizes, so the
+    candidate set matches the batch run's. Only the new docs cross the
+    banding UDF; the join probes the index's (band_id, band_hash) rows.
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b; ``threshold``
+    filters the exact-verified jaccard when given.
+    """
+    cache.unpin_all(owner="minhash_incr")
+    new_base, new_banded = _banded_docs(new_docs, text_col)
+    # both feed two consumers (hot agg + join; both text joins)
+    new_banded = cache.pin(new_banded, owner="minhash_incr")
+    new_base = cache.pin(new_base, owner="minhash_incr")
+
+    all_bands = index.bands.unionByName(new_banded)
+    hot = (
+        all_bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    g_new = new_banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    g_all = all_bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    cand = (
+        g_new.select(F.col("doc_id").alias("doc_n"), "band_id", "band_hash")
+        .join(
+            g_all.select(F.col("doc_id").alias("doc_o"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc_n") != F.col("doc_o"))
+    )
+    pairs = cand.select(
+        F.least("doc_n", "doc_o").alias("doc_a"),
+        F.greatest("doc_n", "doc_o").alias("doc_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+
+    texts_all = index.texts.unionByName(new_base)
+    with_text = pairs.join(
+        texts_all.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("text_a")),
+        "doc_a",
+    ).join(
+        texts_all.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("text_b")),
+        "doc_b",
+    )
+    s1 = shingles_col(F.col("text_a"), 5)
+    s2 = shingles_col(F.col("text_b"), 5)
+    jac = F.size(F.array_intersect(s1, s2)) / F.size(F.array_union(s1, s2))
+    out = with_text.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

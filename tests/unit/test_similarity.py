@@ -261,6 +261,68 @@ def test_simhash_pairs_hot_bucket_guard(spark):
     assert similarity.simhash_pairs(docs, max_bucket=50).count() == 12 * 11 // 2
 
 
+def test_incremental_minhash_matches_batch(spark, tmp_path):
+    """Incremental dedup against a stage-written index must equal the
+    batch run over (indexed + new) restricted to pairs touching a new
+    doc — including the hot-bucket guard, which the incremental path
+    computes over the UNION's bucket sizes."""
+    from canonicity_spark.io_catalog import ParquetCatalog
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then sits down "
+        "to rest for a while before the long walk home tonight " * 3
+    )
+    old_rows = [
+        (f"o{i}", base.replace("dog", w))
+        for i, w in enumerate(["dog", "cat", "bird", "stone", "cloud"])
+    ]
+    new_rows = [
+        ("n0", base.replace("rest", "sleep")),                      # near-dup of o0
+        ("n1", base.replace("dog", "cat").replace("while", "bit")),  # near-dup of o1
+        ("n2", "completely different content entirely unrelated " * 6),
+        ("n3", base.replace("dog", "cat").replace("while", "bit") + " extra"),
+    ]
+    old_df = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    cat = ParquetCatalog(str(tmp_path / "mhidx"))
+    idx = similarity.build_minhash_index(old_df, catalog=cat)
+    assert cat.stage_committed("minhash_index_bands")
+
+    def pairs_of(df):
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+    got = pairs_of(similarity.minhash_near_dup_against(idx, new_df))
+    batch = {
+        p
+        for p in pairs_of(similarity.minhash_near_dup_pairs(old_df.unionByName(new_df)))
+        if p[0].startswith("n") or p[1].startswith("n")
+    }
+    assert got == batch and len(got) >= 3
+
+    # the union-sized hot-bucket guard keeps equivalence under a tight cap
+    got_capped = pairs_of(
+        similarity.minhash_near_dup_against(idx, new_df, max_bucket=2)
+    )
+    batch_capped = {
+        p
+        for p in pairs_of(
+            similarity.minhash_near_dup_pairs(
+                old_df.unionByName(new_df), max_bucket=2
+            )
+        )
+        if p[0].startswith("n") or p[1].startswith("n")
+    }
+    assert got_capped == batch_capped
+
+    # durable: a fresh catalog over the same dir serves the index
+    idx2 = similarity.MinhashIndex(
+        ParquetCatalog(str(tmp_path / "mhidx")).read_stage(spark, "minhash_index_bands"),
+        ParquetCatalog(str(tmp_path / "mhidx")).read_stage(spark, "minhash_index_texts"),
+    )
+    assert pairs_of(similarity.minhash_near_dup_against(idx2, new_df)) == got
+
+
 def test_media_pluggable_fetcher_and_drop_rate(spark, docs):
     """Inject a fake fetcher (nulls every 3rd payload) and check the
     dropped/corrupt-payload rate surfaces in the metrics counters."""
