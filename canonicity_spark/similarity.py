@@ -582,6 +582,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def _bucket_pair_candidates(
+    new_rows: DataFrame,
+    all_rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared incremental-candidate kernel for every bucketed dedup
+    modality (MinHash bands, SimHash bands, sign-LSH buckets): pairs
+    touching at least one NEW row, with the hot-bucket guard computed
+    over the UNION's bucket sizes so the candidate set equals the batch
+    run over (indexed + new). Returns canonicalized (id_a < id_b)."""
+    hot = (
+        all_rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select(*key_cols)
+    )
+    g_new = new_rows.join(F.broadcast(hot), key_cols, "left_anti")
+    g_all = all_rows.join(F.broadcast(hot), key_cols, "left_anti")
+    cand = (
+        g_new.select(F.col(id_col).alias("_id_n"), *key_cols)
+        .join(g_all.select(F.col(id_col).alias("_id_o"), *key_cols), key_cols)
+        .filter(F.col("_id_n") != F.col("_id_o"))
+    )
+    return cand.select(
+        F.least("_id_n", "_id_o").alias("id_a"),
+        F.greatest("_id_n", "_id_o").alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 class MinhashIndex:
     """Banded fingerprint index of a corpus for INCREMENTAL dedup.
 
@@ -645,26 +676,9 @@ def minhash_near_dup_against(
     new_base = cache.pin(new_base, owner="minhash_incr")
 
     all_bands = index.bands.unionByName(new_banded)
-    hot = (
-        all_bands.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket)
-        .select("band_id", "band_hash")
-    )
-    g_new = new_banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
-    g_all = all_bands.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
-    cand = (
-        g_new.select(F.col("doc_id").alias("doc_n"), "band_id", "band_hash")
-        .join(
-            g_all.select(F.col("doc_id").alias("doc_o"), "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-        )
-        .filter(F.col("doc_n") != F.col("doc_o"))
-    )
-    pairs = cand.select(
-        F.least("doc_n", "doc_o").alias("doc_a"),
-        F.greatest("doc_n", "doc_o").alias("doc_b"),
-    ).dropDuplicates(["doc_a", "doc_b"])
+    pairs = _bucket_pair_candidates(
+        new_banded, all_bands, ["band_id", "band_hash"], "doc_id", max_bucket
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
     texts_all = index.texts.unionByName(new_base)
     with_text = pairs.join(
@@ -681,3 +695,159 @@ def minhash_near_dup_against(
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def _simhash_bands(fps: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, simhash) -> one row per 64/n_bands-bit band segment."""
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
+    # posexplode_outer: double-eval dodge, see simhash_pairs
+    return fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode_outer(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(band_mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
+class SimhashIndex:
+    """Banded SimHash fingerprints of a corpus for incremental near-dup
+    (``bands``: (doc_id, simhash, band_id, band_val)). Fingerprints ride
+    on the band rows (8 bytes), so no separate payload table is needed
+    — hamming verification reads them straight off the joined rows."""
+
+    def __init__(self, bands: DataFrame, n_bands: int):
+        self.bands = bands
+        self.n_bands = n_bands
+
+
+def build_simhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 4,
+    catalog=None,
+    stage_name: str = "simhash_index",
+) -> SimhashIndex:
+    """Fingerprint + band a corpus once; increments never re-hash it."""
+    assert 64 % n_bands == 0
+    cache.unpin_all(owner="simhash_index")
+    bands = _simhash_bands(simhash_docs(docs, text_col), n_bands)
+    if catalog is not None:
+        bands = catalog.write_stage(bands, stage_name)
+    else:
+        bands = cache.pin(bands, owner="simhash_index")
+    return SimhashIndex(bands, n_bands)
+
+
+def simhash_pairs_against(
+    index: SimhashIndex,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental banded-SimHash near-dups: (new x indexed) and
+    (new x new) pairs with hamming <= ``max_hamming`` — equivalent to
+    the batch ``simhash_pairs`` over (indexed + new) restricted to
+    pairs touching a new doc (same pigeonhole-lossless banding, same
+    union-sized hot-bucket guard; pinned by test)."""
+    assert max_hamming < index.n_bands
+    cache.unpin_all(owner="simhash_incr")
+    new_bands = cache.pin(
+        _simhash_bands(simhash_docs(new_docs, text_col), index.n_bands),
+        owner="simhash_incr",
+    )
+    all_bands = index.bands.unionByName(new_bands)
+    pairs = _bucket_pair_candidates(
+        new_bands, all_bands, ["band_id", "band_val"], "doc_id", max_bucket
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    fps_all = all_bands.select("doc_id", "simhash").dropDuplicates(["doc_id"])
+    joined = pairs.join(
+        fps_all.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        fps_all.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return joined.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+class EmbeddingIndex:
+    """Sign-LSH-bucketed vectors of a corpus for incremental
+    embedding-cosine near-dup (``buckets``: (vec_id, embedding, bucket))."""
+
+    def __init__(self, buckets: DataFrame, n_bands: int, band_bits: int, dim: int):
+        self.buckets = buckets
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.dim = dim
+
+
+def build_embedding_index(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    dim: int = 64,
+    catalog=None,
+    stage_name: str = "embedding_index",
+) -> EmbeddingIndex:
+    """Sign-LSH-bucket a vector corpus once (seeded hyperplanes, so
+    increments land in the same buckets deterministically)."""
+    cache.unpin_all(owner="emb_index")
+    udf = _hyperplane_buckets_udf(n_bands, band_bits, dim)
+    banded = embeddings.select(
+        "vec_id", "embedding", F.explode_outer(udf(F.col("embedding"))).alias("bucket")
+    )
+    if catalog is not None:
+        banded = catalog.write_stage(banded, stage_name)
+    else:
+        banded = cache.pin(banded, owner="emb_index")
+    return EmbeddingIndex(banded, n_bands, band_bits, dim)
+
+
+def embedding_near_dup_against(
+    index: EmbeddingIndex,
+    new_embeddings: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Incremental embedding near-dups: (new x indexed) + (new x new)
+    candidates from shared sign-LSH buckets, exact-cosine verified —
+    equivalent to the batch ``embedding_near_dup_pairs`` over
+    (indexed + new) restricted to pairs touching a new vector."""
+    cache.unpin_all(owner="emb_incr")
+    udf = _hyperplane_buckets_udf(index.n_bands, index.band_bits, index.dim)
+    new_banded = cache.pin(
+        new_embeddings.select(
+            "vec_id", "embedding", F.explode_outer(udf(F.col("embedding"))).alias("bucket")
+        ),
+        owner="emb_incr",
+    )
+    all_banded = index.buckets.unionByName(new_banded)
+    pairs = _bucket_pair_candidates(
+        new_banded, all_banded, ["bucket"], "vec_id", max_bucket
+    ).select(F.col("id_a").alias("vec_id_a"), F.col("id_b").alias("vec_id_b"))
+    vecs = all_banded.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    joined = pairs.join(
+        vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")),
+        "vec_id_a",
+    ).join(
+        vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("emb_b")),
+        "vec_id_b",
+    )
+    dot = _dot(F.col("emb_a"), F.col("emb_b"))
+    n1 = F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+    n2 = F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
+    return joined.select(
+        "vec_id_a", "vec_id_b", F.round(dot / (n1 * n2), 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

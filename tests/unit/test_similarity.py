@@ -323,6 +323,49 @@ def test_incremental_minhash_matches_batch(spark, tmp_path):
     assert pairs_of(similarity.minhash_near_dup_against(idx2, new_df)) == got
 
 
+def test_incremental_simhash_matches_batch(spark):
+    """Incremental banded-SimHash == batch over (indexed + new),
+    restricted to pairs touching a new doc."""
+    base = "the quick brown fox jumps over the lazy dog wearing a tall hat today"
+    old_rows = [(i, base.replace("dog", w)) for i, w in enumerate(["dog", "cat"])]
+    old_rows += [(10 + i, f"unrelated filler document number {i} blah {i * 3}") for i in range(6)]
+    new_rows = [(100, base.replace("today", "tomorrow")), (101, "something else entirely here")]
+    old_df = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    idx = similarity.build_simhash_index(old_df, n_bands=16)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in similarity.simhash_pairs_against(idx, new_df, max_hamming=8).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in similarity.simhash_pairs(
+            old_df.unionByName(new_df), max_hamming=8, n_bands=16
+        ).collect()
+        if r.doc_a >= 100 or r.doc_b >= 100
+    }
+    assert got == batch and len(got) >= 1
+
+
+def test_incremental_embedding_near_dup_matches_batch(spark, embeddings):
+    """Incremental sign-LSH embedding near-dup == batch over
+    (indexed + new), restricted to pairs touching a new vector."""
+    old_df = embeddings.filter(F.col("vec_id") < 100)
+    new_df = embeddings.filter(F.col("vec_id") >= 100)  # the planted near-dups
+    idx = similarity.build_embedding_index(old_df)
+    got = {
+        (r.vec_id_a, r.vec_id_b, r.cosine_sim)
+        for r in similarity.embedding_near_dup_against(idx, new_df, threshold=0.9).collect()
+    }
+    batch = {
+        (r.vec_id_a, r.vec_id_b, r.cosine_sim)
+        for r in similarity.embedding_near_dup_pairs(embeddings, threshold=0.9).collect()
+        if r.vec_id_a >= 100 or r.vec_id_b >= 100
+    }
+    assert got == batch and len(got) >= 10  # all ten planted dups found
+
+
 def test_media_pluggable_fetcher_and_drop_rate(spark, docs):
     """Inject a fake fetcher (nulls every 3rd payload) and check the
     dropped/corrupt-payload rate surfaces in the metrics counters."""
