@@ -1,0 +1,176 @@
+"""Corpus-curation pipeline: the end-to-end training-data preparation
+flow a 100-TB ingest actually runs, composed from the engine's own
+operators with the same stage-checkpoint/resume guarantees as the KG
+pipeline.
+
+    docs ──score──▶ scored (lang-ID + quality + token stats, ONE pass)
+    scored ──gate──▶ kept (language + quality thresholds)
+    kept ──exact──▶ exact_kept (fingerprint groupBy, min doc_id wins)
+    exact_kept ──near──▶ near_pairs (MinHash-LSH + exact-jaccard verify)
+    near_pairs ──cluster──▶ curated (connected components over the
+        near-dup graph — the SAME CC operator the KG pipeline uses for
+        entity canonicalization — keep the min-doc_id representative
+        per dup cluster)
+
+Scale shape: scoring/gating are pure codegen projections (one scan);
+exact dedup is a map-side-combined groupBy on an 8-byte fingerprint;
+near-dup is the bucketed LSH path (never all-pairs); clustering runs on
+the PAIR graph (near-dup pairs << docs), not the corpus. Every stage is
+committed through the shared StageCatalog protocol, so a killed ingest
+resumes from the last good stage and each stage's manifest records
+rows_in/rows_out — the drop funnel is lineage, for free.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canonicity_spark import canonicalize, similarity, textops
+from canonicity_spark.io_catalog import ParquetCatalog, StageCatalog
+
+
+@dataclass
+class CurationConf:
+    work_dir: str
+    run_id: str | None = None
+    # language gate: None disables; else keep docs whose stopword-vote
+    # language lands in the set
+    allowed_langs: tuple[str, ...] | None = ("en",)
+    # quality gates (textops.quality_score features)
+    min_tokens: int = 5
+    max_digit_ratio: float = 0.3
+    # near-dup removal threshold (exact 5-gram jaccard on LSH candidates)
+    near_dup_threshold: float = 0.9
+    resume: bool = True
+    stop_after: str | None = None
+    catalog_factory: Callable[["CurationConf"], StageCatalog] | None = None
+    stages_run: list[str] = field(default_factory=list)
+    stage_wall: dict[str, float] = field(default_factory=dict)
+
+
+STAGES = ["scored", "kept", "exact_kept", "near_pairs", "curated"]
+
+
+def score_docs(docs: DataFrame) -> DataFrame:
+    """Language + quality + token features in ONE projection pass (the
+    three textops are each a projection over the same scan; composing
+    their expressions keeps it one scan — all codegen, no UDF)."""
+    toks = textops.tokens_col("text")
+    n_tokens = F.size(toks)
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    scores = [
+        textops.stopword_hits(ws).alias(f"score_{lang}")
+        for lang, ws in sorted(textops.STOPWORDS.items())
+    ]
+    scored = docs.select("doc_id", "text", n_tokens.alias("n_tokens"),
+                         F.round(n_digits / F.greatest(F.length("text"), F.lit(1)), 4)
+                         .alias("digit_ratio"), *scores)
+    langs = sorted(textops.STOPWORDS)
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{la}").alias("s"), F.lit(la).alias("l")) for la in langs]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id", "text", "n_tokens", "digit_ratio",
+        best["l"].alias("pred_lang"), best["s"].alias("pred_score"),
+    )
+
+
+def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
+    """Run (or resume) curation; returns the curated documents table
+    (doc_id, text) — the canonical representatives that survived every
+    gate. Per-stage drop counts land in the catalog manifests."""
+    if conf.catalog_factory is not None:
+        cat = conf.catalog_factory(conf)
+    else:
+        cat = ParquetCatalog(conf.work_dir, run_id=conf.run_id)
+
+    def stage(name: str, compute) -> DataFrame:
+        if conf.resume and cat.stage_committed(name):
+            return cat.read_stage(spark, name)
+        t0 = time.perf_counter()
+        out = cat.write_stage(compute(), name)
+        conf.stages_run.append(name)
+        conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    class _Stop(Exception):
+        pass
+
+    def check_stop(name: str):
+        if conf.stop_after == name:
+            raise _Stop()
+
+    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    try:
+        scored = stage("scored", lambda: score_docs(docs))
+        check_stop("scored")
+
+        def gate():
+            kept = scored
+            if conf.allowed_langs is not None:
+                kept = kept.filter(F.col("pred_lang").isin(*conf.allowed_langs))
+            return kept.filter(
+                (F.col("n_tokens") >= conf.min_tokens)
+                & (F.col("digit_ratio") <= conf.max_digit_ratio)
+            ).select("doc_id", "text")
+
+        kept = stage("kept", gate)
+        check_stop("kept")
+
+        def exact():
+            # fingerprint groupBy with min-doc_id winner: map-side
+            # combine, skew-tolerant; normalized-text md5 == the
+            # textops.fingerprint definition
+            fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+            winners = (
+                kept.select("doc_id", fp.alias("_fp"))
+                .groupBy("_fp")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            return kept.join(winners, "doc_id", "left_semi")
+
+        exact_kept = stage("exact_kept", exact)
+        check_stop("exact_kept")
+
+        near_pairs = stage(
+            "near_pairs",
+            lambda: similarity.ngram_jaccard_pairs(
+                exact_kept, threshold=conf.near_dup_threshold
+            ),
+        )
+        check_stop("near_pairs")
+
+        def cluster():
+            # near-dup clusters via the engine's CC operator (the same
+            # kernel that canonicalizes entities); representative = min
+            # doc_id per cluster = the node whose CC label is itself
+            edges = near_pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+                F.lit(1.0).alias("w"), F.lit("neardup").alias("etype"),
+            )
+            labels = canonicalize.connected_components(edges)
+            drop = labels.filter(F.col("node") != F.col("label")).select(
+                F.col("node").alias("doc_id")
+            )
+            # no broadcast hint: on boilerplate-heavy web corpora the
+            # drop set can be a large fraction of the corpus — AQE
+            # picks broadcast when it actually fits
+            return exact_kept.join(drop, "doc_id", "left_anti")
+
+        curated = stage("curated", cluster)
+        return curated
+    except _Stop:
+        return None
+
+
+def drop_funnel(cat: StageCatalog) -> dict[str, int]:
+    """The curation drop funnel straight from the stage manifests
+    (zero recount jobs): stage -> rows_out."""
+    return {name: cat.read_manifest(name)["rows_out"] for name in STAGES}

@@ -1,0 +1,81 @@
+"""Corpus-curation pipeline tests: every gate drops exactly the
+planted junk class, the funnel is recorded in stage manifests, and a
+killed run resumes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canonicity_spark import curate
+from canonicity_spark.io_catalog import ParquetCatalog
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it runs far "
+    "for a long time in the cold morning air of the open field "
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # three good unique english docs (d0 also seeds dup classes)
+        ("d0", GOOD + "first story variant"),
+        ("d1", GOOD + "second story about the river and the old stone bridge"),
+        ("d2", GOOD + "third story for the archive of it all"),
+        # exact duplicates of d0 (whitespace-normalized equal)
+        ("d3", GOOD + "first  story   variant"),
+        ("d4", GOOD + "first story variant "),
+        # near-duplicate CLUSTER: d5 ~ d1, d6 ~ d5 (transitive) — CC
+        # keeps the min representative d1
+        ("d5", GOOD + "second story about the river and the old stone ridge"),
+        ("d6", GOOD + "second story about the river and the old tone ridge"),
+        # spanish doc -> language gate
+        ("d7", "el perro corre en la calle y no se detiene porque es un dia de sol en la ciudad"),
+        # digit spam -> quality gate
+        ("d8", "the 123456789 987654321 000111222 333444555 666777888 999000111"),
+        # too short -> token gate
+        ("d9", "the end"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_curation_drops_each_junk_class(spark, corpus, tmp_path):
+    conf = curate.CurationConf(work_dir=str(tmp_path / "cur"))
+    curated = curate.run(spark, corpus, conf)
+    assert {r.doc_id for r in curated.collect()} == {"d0", "d1", "d2"}
+    assert conf.stages_run == curate.STAGES
+
+    # the drop funnel comes from manifests, no recount jobs
+    funnel = curate.drop_funnel(ParquetCatalog(str(tmp_path / "cur")))
+    assert funnel["scored"] == 10
+    assert funnel["kept"] == 7        # d7 (lang), d8 (digits), d9 (short) gone
+    assert funnel["exact_kept"] == 5  # d3, d4 collapse into d0
+    assert funnel["near_pairs"] >= 2  # d1~d5, d5~d6 (d1~d6 may also pair)
+    assert funnel["curated"] == 3
+
+
+def test_curation_resume_is_stable(spark, corpus, tmp_path):
+    wd = str(tmp_path / "cur_resume")
+    c1 = curate.CurationConf(work_dir=wd, stop_after="exact_kept")
+    assert curate.run(spark, corpus, c1) is None
+    assert c1.stages_run == ["scored", "kept", "exact_kept"]
+
+    c2 = curate.CurationConf(work_dir=wd)
+    resumed = curate.run(spark, corpus, c2)
+    assert c2.stages_run == ["near_pairs", "curated"]
+
+    c3 = curate.CurationConf(work_dir=str(tmp_path / "cur_clean"))
+    clean = curate.run(spark, corpus, c3)
+    assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, clean.collect()))
+
+
+def test_curation_plan_stays_jvm_side_until_lsh(spark, corpus):
+    """Scoring + gating must be pure codegen (no Python, no lambda
+    HOFs) — the only Python crossing in curation is the LSH banding."""
+    plan = (
+        curate.score_docs(corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
