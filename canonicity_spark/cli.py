@@ -24,8 +24,15 @@ import time
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="canonicity_spark")
+    p.add_argument(
+        "--mode",
+        choices=["kg", "curate"],
+        default="kg",
+        help="kg = full KG pipeline (default); curate = corpus-curation "
+        "pipeline (gates -> dedup -> near-dup clusters, curate.py)",
+    )
     p.add_argument("--input", required=True, help="interleaved documents parquet")
-    p.add_argument("--alias-dict", required=True, help="alias dictionary parquet")
+    p.add_argument("--alias-dict", default=None, help="alias dictionary parquet (kg mode)")
     p.add_argument("--entity-pool", default=None)
     p.add_argument("--work-dir", required=True, help="stage catalog root")
     p.add_argument("--run-id", default=None)
@@ -40,7 +47,15 @@ def main(argv: list[str] | None = None) -> None:
         help="run a 1000-doc throwaway pipeline first so the timed run "
         "measures steady-state throughput, not JVM/Python-worker bootstrap",
     )
+    # curate-mode knobs
+    p.add_argument("--allowed-langs", default="en",
+                   help="csv of language codes to keep; 'all' disables the gate")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-digit-ratio", type=float, default=0.3)
+    p.add_argument("--near-dup-threshold", type=float, default=0.9)
     args = p.parse_args(argv)
+    if args.mode == "kg" and not args.alias_dict:
+        p.error("--alias-dict is required in kg mode")
 
     from canonicity_spark import pipeline, session
 
@@ -52,6 +67,46 @@ def main(argv: list[str] | None = None) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(args.input)
+
+    if args.mode == "curate":
+        from canonicity_spark import curate
+        from canonicity_spark.io_catalog import ParquetCatalog
+
+        conf = curate.CurationConf(
+            work_dir=args.work_dir,
+            run_id=args.run_id,
+            allowed_langs=(
+                None if args.allowed_langs == "all"
+                else tuple(args.allowed_langs.split(","))
+            ),
+            min_tokens=args.min_tokens,
+            max_digit_ratio=args.max_digit_ratio,
+            near_dup_threshold=args.near_dup_threshold,
+            resume=args.resume,
+        )
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        curated = curate.run(spark, docs, conf)
+        n_curated = curated.count()
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "mode": "curate",
+                    "n_docs": n_docs,
+                    "n_curated": n_curated,
+                    "wall_sec": round(wall, 3),
+                    "docs_per_sec": round(n_docs / wall, 1),
+                    "stages_run": conf.stages_run,
+                    "stage_wall": conf.stage_wall,
+                    "funnel": curate.drop_funnel(ParquetCatalog(args.work_dir)),
+                    "master": args.master or "submit-provided",
+                }
+            )
+        )
+        sys.stdout.flush()
+        return
+
     alias = spark.read.parquet(args.alias_dict)
     pool = spark.read.parquet(args.entity_pool) if args.entity_pool else None
 

@@ -70,6 +70,31 @@ def test_curation_resume_is_stable(spark, corpus, tmp_path):
     assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, clean.collect()))
 
 
+def test_cli_curate_mode(spark, corpus, tmp_path, capsys):
+    """The production CLI runs curation end-to-end and reports the
+    funnel (EP3 surface for the training-data pipeline)."""
+    import json
+
+    from canonicity_spark import cli
+
+    inp = str(tmp_path / "docs.parquet")
+    corpus.write.mode("overwrite").parquet(inp)
+    cli.main(
+        [
+            "--mode", "curate",
+            "--input", inp,
+            "--work-dir", str(tmp_path / "wd"),
+            "--allowed-langs", "en",
+        ]
+    )
+    out = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert out["mode"] == "curate"
+    assert out["n_docs"] == 10 and out["n_curated"] == 3
+    assert out["funnel"]["curated"] == 3
+
+
 def test_curation_plan_stays_jvm_side_until_lsh(spark, corpus):
     """Scoring + gating must be pure codegen (no Python, no lambda
     HOFs) — the only Python crossing in curation is the LSH banding."""
