@@ -95,6 +95,22 @@ def test_cli_curate_mode(spark, corpus, tmp_path, capsys):
     assert out["funnel"]["curated"] == 3
 
 
+def test_score_docs_matches_textops_definitions(spark, corpus):
+    """score_docs fuses the three textops into one scan; its columns
+    must stay equal to the standalone operators (drift guard)."""
+    from canonicity_spark import textops
+
+    got = {
+        r.doc_id: (r.n_tokens, r.digit_ratio, r.pred_lang, r.pred_score)
+        for r in curate.score_docs(corpus).collect()
+    }
+    li = {r.doc_id: (r.pred_lang, r.pred_score) for r in textops.lang_id(corpus).collect()}
+    q = {r.doc_id: (r.n_tokens, r.digit_ratio) for r in textops.quality_score(corpus).collect()}
+    for doc_id, (n_tokens, digit_ratio, pred_lang, pred_score) in got.items():
+        assert (pred_lang, pred_score) == li[doc_id], doc_id
+        assert (n_tokens, digit_ratio) == q[doc_id], doc_id
+
+
 def test_curation_plan_stays_jvm_side_until_lsh(spark, corpus):
     """Scoring + gating must be pure codegen (no Python, no lambda
     HOFs) — the only Python crossing in curation is the LSH banding."""
