@@ -768,7 +768,10 @@ def simhash_pairs_against(
     pairs = _bucket_pair_candidates(
         new_bands, all_bands, ["band_id", "band_val"], "doc_id", max_bucket
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    fps_all = all_bands.select("doc_id", "simhash").dropDuplicates(["doc_id"])
+    # one fingerprint row per doc WITHOUT a shuffle: every doc has
+    # exactly one band_id==0 row (a dropDuplicates here would shuffle
+    # the whole archive-sized band table on every increment)
+    fps_all = all_bands.filter(F.col("band_id") == 0).select("doc_id", "simhash")
     joined = pairs.join(
         fps_all.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
         "doc_a",
@@ -837,7 +840,12 @@ def embedding_near_dup_against(
     pairs = _bucket_pair_candidates(
         new_banded, all_banded, ["bucket"], "vec_id", max_bucket
     ).select(F.col("id_a").alias("vec_id_a"), F.col("id_b").alias("vec_id_b"))
-    vecs = all_banded.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    # one vector row per vec_id WITHOUT a shuffle: bucket values encode
+    # the band in the high bits (hash + band_id << band_bits), so band
+    # 0's rows — exactly one per vector — are the ones < 2^band_bits
+    vecs = all_banded.filter(
+        F.col("bucket") < F.lit(1 << index.band_bits)
+    ).select("vec_id", "embedding")
     joined = pairs.join(
         vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("emb_a")),
         "vec_id_a",
