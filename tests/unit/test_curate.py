@@ -95,6 +95,24 @@ def test_cli_curate_mode(spark, corpus, tmp_path, capsys):
     assert out["funnel"]["curated"] == 3
 
 
+def test_curation_empty_and_degenerate_corpora(spark, tmp_path):
+    """Empty input and an all-duplicates corpus must flow through every
+    stage (zero-row stage commits, empty near-dup graph, full-corpus
+    dup cluster) without errors."""
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    c_e = curate.CurationConf(work_dir=str(tmp_path / "empty"))
+    assert curate.run(spark, empty, c_e).count() == 0
+    assert c_e.stages_run == curate.STAGES
+
+    dups = spark.createDataFrame(
+        [(f"d{i:02d}", GOOD + "the same text in every document") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    c_d = curate.CurationConf(work_dir=str(tmp_path / "dups"))
+    out = curate.run(spark, dups, c_d)
+    assert [r.doc_id for r in out.collect()] == ["d00"]
+
+
 def test_score_docs_matches_textops_definitions(spark, corpus):
     """score_docs fuses the three textops into one scan; its columns
     must stay equal to the standalone operators (drift guard)."""
