@@ -27,10 +27,13 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import hashlib
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canonicity_spark import canonicalize, similarity, textops
+from canonicity_spark import cache, canonicalize, similarity, textops
 from canonicity_spark.io_catalog import ParquetCatalog, StageCatalog
 
 
@@ -54,6 +57,22 @@ class CurationConf:
 
 
 STAGES = ["scored", "kept", "exact_kept", "near_pairs", "curated"]
+
+
+def input_fingerprint(docs: DataFrame, conf: CurationConf) -> str:
+    """Identity of (input, semantics-affecting gates) — same resume
+    safety as pipeline.input_fingerprint: a work dir committed for a
+    different corpus or different thresholds must refuse to donate
+    stages, not silently mix them."""
+    ident = {
+        "files": sorted(docs.inputFiles()),
+        "schema": docs.schema.jsonValue(),
+        "allowed_langs": list(conf.allowed_langs) if conf.allowed_langs else None,
+        "min_tokens": conf.min_tokens,
+        "max_digit_ratio": conf.max_digit_ratio,
+        "near_dup_threshold": conf.near_dup_threshold,
+    }
+    return hashlib.sha256(json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
 
 
 def score_docs(docs: DataFrame) -> DataFrame:
@@ -85,18 +104,26 @@ def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
     """Run (or resume) curation; returns the curated documents table
     (doc_id, text) — the canonical representatives that survived every
     gate. Per-stage drop counts land in the catalog manifests."""
+    docs_narrow = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    fingerprint = input_fingerprint(docs, conf)
     if conf.catalog_factory is not None:
         cat = conf.catalog_factory(conf)
     else:
-        cat = ParquetCatalog(conf.work_dir, run_id=conf.run_id)
+        cat = ParquetCatalog(
+            conf.work_dir, run_id=conf.run_id, fingerprint=fingerprint
+        )
 
     def stage(name: str, compute) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
             return cat.read_stage(spark, name)
         t0 = time.perf_counter()
+        pins_before = cache.mark()
         out = cat.write_stage(compute(), name)
         conf.stages_run.append(name)
         conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
+        # scoped release, same as pipeline.stage: only pins this stage
+        # created (the LSH banding pin in near_pairs)
+        cache.release_new(pins_before)
         return out
 
     class _Stop(Exception):
@@ -106,7 +133,7 @@ def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
         if conf.stop_after == name:
             raise _Stop()
 
-    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    docs = docs_narrow
     try:
         scored = stage("scored", lambda: score_docs(docs))
         check_stop("scored")

@@ -70,6 +70,23 @@ def test_curation_resume_is_stable(spark, corpus, tmp_path):
     assert sorted(map(tuple, resumed.collect())) == sorted(map(tuple, clean.collect()))
 
 
+def test_curation_resume_rejects_different_gates(spark, corpus, tmp_path):
+    """A work dir committed under one gate config must refuse to donate
+    stages to a run with different thresholds (fingerprint guard, same
+    contract as the KG pipeline)."""
+    wd = str(tmp_path / "cur_fp")
+    c1 = curate.CurationConf(work_dir=wd, stop_after="kept")
+    curate.run(spark, corpus, c1)
+
+    c2 = curate.CurationConf(work_dir=wd, min_tokens=20)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        curate.run(spark, corpus, c2)
+
+    c3 = curate.CurationConf(work_dir=wd)  # same gates -> resumes
+    assert curate.run(spark, corpus, c3) is not None
+    assert "kept" not in c3.stages_run
+
+
 def test_cli_curate_mode(spark, corpus, tmp_path, capsys):
     """The production CLI runs curation end-to-end and reports the
     funnel (EP3 surface for the training-data pipeline)."""
