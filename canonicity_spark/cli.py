@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> None:
         "measures steady-state throughput, not JVM/Python-worker bootstrap",
     )
     # curate-mode knobs
+    p.add_argument("--input-format", choices=["parquet", "jsonl", "csv"],
+                   default="parquet",
+                   help="curate-mode input format (pinned schema; malformed "
+                   "rows are quarantined, not fatal)")
     p.add_argument("--allowed-langs", default="en",
                    help="csv of language codes to keep; 'all' disables the gate")
     p.add_argument("--min-tokens", type=int, default=5)
@@ -66,12 +70,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = spark.read.parquet(args.input)
-
     if args.mode == "curate":
-        from canonicity_spark import curate
+        from canonicity_spark import adapter, curate
         from canonicity_spark.io_catalog import ParquetCatalog
 
+        docs = adapter.read_documents(spark, args.input, fmt=args.input_format)
+        docs, quarantined = adapter.quarantine_malformed(docs)
+        n_quarantined = quarantined.count() if args.input_format != "parquet" else 0
         conf = curate.CurationConf(
             work_dir=args.work_dir,
             run_id=args.run_id,
@@ -94,6 +99,7 @@ def main(argv: list[str] | None = None) -> None:
                 {
                     "mode": "curate",
                     "n_docs": n_docs,
+                    "n_quarantined": n_quarantined,
                     "n_curated": n_curated,
                     "wall_sec": round(wall, 3),
                     "docs_per_sec": round(n_docs / wall, 1),
@@ -107,6 +113,7 @@ def main(argv: list[str] | None = None) -> None:
         sys.stdout.flush()
         return
 
+    docs = spark.read.parquet(args.input)
     alias = spark.read.parquet(args.alias_dict)
     pool = spark.read.parquet(args.entity_pool) if args.entity_pool else None
 

@@ -112,6 +112,33 @@ def test_cli_curate_mode(spark, corpus, tmp_path, capsys):
     assert out["funnel"]["curated"] == 3
 
 
+def test_cli_curate_jsonl_input(spark, corpus, tmp_path, capsys):
+    """curate mode ingests a JSONL corpus (one bad line quarantined)."""
+    import json as _json
+
+    from canonicity_spark import cli
+
+    inp = str(tmp_path / "docs.jsonl")
+    lines = [
+        _json.dumps({"doc_id": i, "text": r["text"]})
+        for i, r in enumerate(corpus.collect())
+    ] + ['{"doc_id": 99, "text": "trunc']
+    open(inp, "w").write("\n".join(lines))
+    cli.main(
+        [
+            "--mode", "curate",
+            "--input", inp,
+            "--input-format", "jsonl",
+            "--work-dir", str(tmp_path / "wdj"),
+        ]
+    )
+    out = _json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert out["n_quarantined"] == 1
+    assert out["n_docs"] == 10 and out["n_curated"] == 3
+
+
 def test_curation_empty_and_degenerate_corpora(spark, tmp_path):
     """Empty input and an all-duplicates corpus must flow through every
     stage (zero-row stage commits, empty near-dup graph, full-corpus
