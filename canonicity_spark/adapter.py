@@ -28,6 +28,15 @@ FLAT_DOCUMENTS_SCHEMA = (
     "_corrupt_record string"
 )
 
+# the pipeline's interleaved-span input shape (BASELINE.json:15) for
+# schema-on-read sources — nested structs parse fine from JSONL with a
+# declared schema, no inference scan
+INTERLEAVED_DOCUMENTS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "_corrupt_record string"
+)
+
 
 def read_documents(
     spark: SparkSession, path: str, fmt: str = "parquet"
@@ -53,6 +62,22 @@ def read_documents(
             .csv(path)
         )
     raise ValueError(f"unsupported document source format: {fmt!r}")
+
+
+def read_interleaved_documents(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read the INTERLEAVED-span documents table (the KG pipeline's
+    input shape) from parquet or JSONL. Nested spans parse from JSONL
+    against the pinned schema — same quarantine contract as the flat
+    reader (CSV cannot carry the nested spans column and is rejected)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        return spark.read.schema(INTERLEAVED_DOCUMENTS_SCHEMA).option(
+            "mode", "PERMISSIVE"
+        ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    raise ValueError(f"unsupported interleaved source format: {fmt!r}")
 
 
 def quarantine_malformed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -50,8 +50,9 @@ def main(argv: list[str] | None = None) -> None:
     # curate-mode knobs
     p.add_argument("--input-format", choices=["parquet", "jsonl", "csv"],
                    default="parquet",
-                   help="curate-mode input format (pinned schema; malformed "
-                   "rows are quarantined, not fatal)")
+                   help="input format, pinned schema (kg mode: interleaved "
+                   "spans, parquet/jsonl; curate mode: flat text, all "
+                   "three); malformed rows are quarantined, not fatal")
     p.add_argument("--allowed-langs", default="en",
                    help="csv of language codes to keep; 'all' disables the gate")
     p.add_argument("--min-tokens", type=int, default=5)
@@ -113,7 +114,11 @@ def main(argv: list[str] | None = None) -> None:
         sys.stdout.flush()
         return
 
-    docs = spark.read.parquet(args.input)
+    from canonicity_spark import adapter
+
+    docs, _bad = adapter.quarantine_malformed(
+        adapter.read_interleaved_documents(spark, args.input, fmt=args.input_format)
+    )
     alias = spark.read.parquet(args.alias_dict)
     pool = spark.read.parquet(args.entity_pool) if args.entity_pool else None
 
