@@ -157,6 +157,52 @@ def test_stopword_hits_equals_token_filter(spark, texts):
     assert got == want
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_incremental_minhash_equivalence_random_corpora(spark, data):
+    """Property form of the incremental-dedup contract: for ANY corpus
+    and ANY old/new split, minhash_near_dup_against(index(old), new)
+    == batch pairs over (old + new) restricted to pairs touching new."""
+    from canonicity_spark import similarity
+
+    seed = data.draw(st.integers(min_value=0, max_value=10**6))
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    for i in range(14):
+        if docs and rng.random() < 0.5:
+            # near-dup of an earlier doc: mutate one token
+            base = rng.choice(docs)[1].split()
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+            docs.append((f"d{i:02d}", " ".join(base)))
+        else:
+            docs.append(
+                (f"d{i:02d}", " ".join(rng.choice(vocab) for _ in range(30)))
+            )
+    split = rng.randint(1, 13)
+    old = spark.createDataFrame(docs[:split], ["doc_id", "text"])
+    new = spark.createDataFrame(docs[split:], ["doc_id", "text"])
+    new_ids = {d[0] for d in docs[split:]}
+
+    idx = similarity.build_minhash_index(old)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in similarity.minhash_near_dup_against(idx, new).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in similarity.minhash_near_dup_pairs(
+            old.unionByName(new)
+        ).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert got == batch
+
+
 def test_link_score_spark_equals_python(spark):
     """The fixture generator guarantees goldens under fixtures.link_score;
     this pins the Spark scorer to the same function on fixture data."""
