@@ -151,30 +151,12 @@ def simhash_pairs(
     """
     assert max_hamming < n_bands, "pigeonhole recall guarantee needs max_hamming < n_bands"
     assert 64 % n_bands == 0
-    band_bits = 64 // n_bands
-    band_mask = (1 << band_bits) - 1
 
     cache.unpin_all(owner="simhash_pairs")  # release the previous invocation's pins
-    fps = simhash_docs(docs, text_col)
     # banded table feeds two consumers (hot-bucket agg + self-join);
     # pin so the fingerprint UDF runs once per doc
-    # posexplode_outer: the band array derives from the simhash UDF
-    # column; plain posexplode lets InferFiltersFromGenerate re-evaluate
-    # the fingerprint UDF below the repartition (see link.lsh_candidates)
     bands = cache.pin(
-        fps.select(
-            "doc_id",
-            "simhash",
-            F.posexplode_outer(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
-                        .bitwiseAND(F.lit(band_mask))
-                        for i in range(n_bands)
-                    ]
-                )
-            ).alias("band_id", "band_val"),
-        ),
+        _simhash_bands(simhash_docs(docs, text_col), n_bands),
         owner="simhash_pairs",
     )
     hot = (
