@@ -196,8 +196,13 @@ def canonical_entities(
         F.sum("freq").alias("n_mentions"),
     )
     if entity_pool is not None:
+        # no forced broadcast: the known-entity pool is usually small,
+        # but at web scale it can be 10^8 rows — let the optimizer/AQE
+        # broadcast when it fits the threshold and shuffle-join (even,
+        # high-cardinality entity_id key) when it doesn't, same policy
+        # as the M1 surface-map joins
         per_entity = per_entity.join(
-            F.broadcast(entity_pool.select("entity_id", "canonical_name")),
+            entity_pool.select("entity_id", "canonical_name"),
             "entity_id",
             "left",
         )
