@@ -601,6 +601,12 @@ class MinhashIndex:
     ``bands``: (doc_id, band_id, band_hash) — 16 small rows per doc;
     ``texts``: (doc_id, _t) — normalized text, needed by the exact
     verify step. Stage-written (durable) when built with a catalog.
+
+    Growing the index after an ingest batch clears dedup: write the
+    batch's band/text tables as NEW stages (build_minhash_index with a
+    per-batch stage_prefix) and serve the index as the union of stage
+    reads — appending must never rewrite the archive-sized tables.
+    (On Iceberg the same effect is a snapshot append to one table.)
     """
 
     def __init__(self, bands: DataFrame, texts: DataFrame):
