@@ -19,6 +19,13 @@ the PAIR graph (near-dup pairs << docs), not the corpus. Every stage is
 committed through the shared StageCatalog protocol, so a killed ingest
 resumes from the last good stage and each stage's manifest records
 rows_in/rows_out — the drop funnel is lineage, for free.
+
+Measured on the adversarially dup-rich fixture grammar (short Zipf
+template docs where near-identical variants abound): 100k docs curate
+end-to-end in ~34s and 1M in ~458s on local[28] — the verify stage is
+linear in surviving LSH candidates (similarity._verify_pairs_jaccard),
+and candidates, not docs, are what grow on boilerplate-heavy data; the
+hot-bucket cap bounds the worst case.
 """
 
 from __future__ import annotations
