@@ -470,16 +470,29 @@ def q_ann_cosine_pairs_exact(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF-bucketed approximate top-k (scale path; recall vs brute force
-    asserted in tests/unit/test_similarity.py — no SQL oracle since the
-    result is approximate by design)."""
-    return similarity.ivf_topk(_t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+    """IVF build/assign/probe/join machinery at FULL probe
+    (n_probe == n_centroids): probing every cell is exactly brute-force
+    cosine top-k, which IS SQL-expressible — so the whole machinery
+    (seeded k-means build, cell assignment, Spark-side probe explode,
+    broadcast probe join, per-query window top-k) gets a value-level
+    oracle (VERDICT round 3 #2). Partial-probe recall >= 0.9 vs brute
+    force stays pinned in tests/unit/test_similarity.py."""
+    return similarity.ivf_topk(
+        _t(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_centroids=16, n_probe=16,
+    )
 
 
 def q_dd_embedding_near_dup(spark, sf):
-    """Sign-LSH bucketed embedding near-dup pairs (rows-only check)."""
+    """Sign-LSH bucketed embedding near-dup pairs, value-level oracle:
+    the hyperplanes are a seeded constant (RandomState(42), 64x64), so
+    the oracle SQL serializes the plane matrix and replicates the
+    bucketing + hot guard + exact-cosine verify EXACTLY (the
+    dd_simhash_pairs trick — VERDICT round 3 #3; round 3's rows-only
+    check at threshold 0.45 matched on a single row, which discriminated
+    nothing). Threshold 0.3 yields 122 pairs at sf0.01."""
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.45
+        _t(spark, sf, "embeddings"), threshold=0.3
     )
 
 
@@ -530,12 +543,23 @@ def q_g6_salted_min(spark, sf):
 def q_mm_media_features(spark, sf):
     """Multimodal plumbing: media spans -> binary payloads -> mapInPandas
     decode/feature stub (rows-only; payload bytes use xxhash64 which has
-    no DuckDB twin)."""
+    no DuckDB twin). The operator emits ``feature array<float>``
+    (media.FEATURE_SCHEMA, unchanged); the QUERY projects that array to
+    a rounded checksum because the driver harness canonicalizes columns
+    with pandas factorize, which cannot hash list values — round 3's
+    array projection crashed the harness (VERDICT round 3 #1)."""
     from canonicity_spark import media
 
     docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
     payloads = media.fetch_payloads(extract.explode_spans(docs))
-    return media.decode_features(payloads)
+    feats = media.decode_features(payloads)
+    return feats.select(
+        "doc_id", "media_ref", "kind", "n_bytes", "width", "height", "n_frames",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("feature_checksum"),
+    )
 
 
 def q_dd_near_dup_verified(spark, sf):
@@ -666,6 +690,25 @@ def queries() -> dict[str, Q]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "u4_centroid_norm": q_u4_centroid_norm,
     }
+
+
+def _hyperplane_planes_values() -> str:
+    """Serialize the sign-LSH hyperplane matrix into a SQL VALUES list.
+
+    The planes are a pure function of the seed
+    (np.random.RandomState(42).standard_normal((64, 64)) — exactly what
+    similarity._hyperplane_buckets_udf derives), so the DuckDB oracle
+    can replicate the bucketing bit-for-bit. repr() floats round-trip
+    float64 exactly. One row per plane j: (plane_id, [p_0j..p_63j]).
+    """
+    import numpy as np
+
+    planes = np.random.RandomState(42).standard_normal((64, 64))
+    return ",\n".join(
+        "(%d, [%s])"
+        % (j, ", ".join(repr(float(planes[i, j])) for i in range(64)))
+        for j in range(64)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1069,11 +1112,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
             FROM pairs WHERE bit_count(xor(ua, ub)) <= 3
         """,
-        # dd_embedding_near_dup / ann_ivf_topk / mm_media_features
-        # intentionally omitted: sign-LSH bucketing and IVF probing are
-        # approximate by design, and the media payloads derive from
-        # xxhash64 (no DuckDB twin); the driver records the weaker
-        # rows-only check, and tests/unit pin their behavior (IVF recall
-        # vs brute force, LSH recall on planted near-dups, media batch
-        # shape/determinism).
+        # IVF at FULL probe (n_probe == n_centroids) scores every cell,
+        # so the approximate machinery degenerates to exact brute-force
+        # cosine top-k — identical to ann_cosine_topk's oracle. This
+        # hash-checks the build/assign/probe/join/window plumbing; the
+        # approximate (partial-probe) behavior stays pinned by the
+        # recall test in tests/unit/test_similarity.py.
+        "ann_ivf_topk": """
+            SELECT vec_id, round(
+                       list_dot_product(CAST(embedding AS DOUBLE[]), q) /
+                       (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q, q))), 6) AS cosine_sim
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+        """,
+        # Sign-LSH embedding near-dup: the seeded hyperplane matrix is
+        # serialized into the SQL (same trick as dd_simhash_pairs'
+        # rebuilt fingerprints), so the oracle replicates the bucketing,
+        # the >2000 hot-bucket guard, and the exact-cosine verify — an
+        # EXACT twin, not a recall-dependent approximation. Validated
+        # equal to an independent numpy replication of the UDF at
+        # sf0.01 (122 pairs at threshold 0.3).
+        "dd_embedding_near_dup": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            planes(plane_id, p) AS (VALUES {_hyperplane_planes_values()}),
+            bits AS (
+                SELECT e.vec_id, pl.plane_id // 8 AS band_id,
+                       pl.plane_id % 8 AS bitpos,
+                       CASE WHEN list_dot_product(e.v, pl.p) > 0 THEN 1 ELSE 0 END AS bit
+                FROM e, planes pl
+            ),
+            buckets AS (
+                SELECT vec_id,
+                       CAST(sum(bit * (1 << bitpos)) + band_id * 256 AS BIGINT) AS bucket
+                FROM bits GROUP BY vec_id, band_id
+            ),
+            hot AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > 2000),
+            guarded AS (SELECT buckets.* FROM buckets ANTI JOIN hot USING (bucket)),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+                FROM guarded a JOIN guarded b USING (bucket)
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT vec_id_a, vec_id_b,
+                   round(list_dot_product(ea.v, eb.v) /
+                         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                       AS cosine_sim
+            FROM cand JOIN e ea ON ea.vec_id = vec_id_a JOIN e eb ON eb.vec_id = vec_id_b
+            WHERE round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+        """,
+        # mm_media_features intentionally omitted: payload bytes derive
+        # from xxhash64 (no DuckDB twin); the driver records the weaker
+        # rows-only check (now meaningful — one row per media span) and
+        # tests/unit pin batch shape + determinism.
     }

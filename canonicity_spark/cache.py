@@ -27,31 +27,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_PINNED: list[tuple[str, DataFrame]] = []
+# (seq, owner, frame). Pins are keyed by a monotonic sequence number,
+# NOT object identity: id(df) can be reused after a released pin is
+# garbage-collected, which would let a frame pinned mid-stage wrongly
+# survive the post-stage release_new (ADVICE round 3). Sequence numbers
+# are never reused, so the since-mark comparison cannot alias.
+_PINNED: list[tuple[int, str, DataFrame]] = []
+_next_seq = 1
 
 
 def pin(df: DataFrame, owner: str = "default") -> DataFrame:
     """persist() + register under ``owner`` for later release."""
+    global _next_seq
     df = df.persist()
-    _PINNED.append((owner, df))
+    _PINNED.append((_next_seq, owner, df))
+    _next_seq += 1
     return df
 
 
-def mark() -> set[int]:
-    """Snapshot of the currently-registered pins (by frame identity —
-    indices would shift under concurrent owner-scoped releases)."""
-    return {id(df) for _, df in _PINNED}
+def mark() -> int:
+    """Snapshot of the pin sequence: every pin created after this call
+    gets a sequence number >= the returned value."""
+    return _next_seq
 
 
-def release_new(snapshot: set[int]) -> int:
+def release_new(snapshot: int) -> int:
     """Unpersist every pin registered since ``snapshot`` (the scoped
     post-stage release: pins that predate the stage stay pinned)."""
     n = 0
     keep = []
     while _PINNED:
-        own, df = _PINNED.pop()
-        if id(df) in snapshot:
-            keep.append((own, df))
+        seq, own, df = _PINNED.pop()
+        if seq < snapshot:
+            keep.append((seq, own, df))
             continue
         try:
             df.unpersist()
@@ -68,9 +76,9 @@ def unpin_all(owner: str | None = None) -> int:
     n = 0
     keep = []
     while _PINNED:
-        own, df = _PINNED.pop()
+        seq, own, df = _PINNED.pop()
         if owner is not None and own != owner:
-            keep.append((own, df))
+            keep.append((seq, own, df))
             continue
         try:
             df.unpersist()

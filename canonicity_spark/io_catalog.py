@@ -70,11 +70,20 @@ class StageCatalog:
 
     # -- S4: stage sink -------------------------------------------------
     def write_stage(
-        self, df: DataFrame, name: str, rows_in: int | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        rows_in: int | None = None,
+        meta: dict | None = None,
     ) -> DataFrame:
         """Write stage output + manifest; returns the re-read DataFrame
         (reading back decouples downstream stages from the upstream
-        plan — same effect as a reliable checkpoint)."""
+        plan — same effect as a reliable checkpoint).
+
+        ``meta``: small JSON-serializable operator metadata recorded in
+        the manifest (e.g. IVF centroid matrix, ingest quarantine
+        counts) — rides the same atomic commit, so it is durable iff
+        the stage is."""
         from canonicity_spark import metrics
 
         # S7: in-flight row counter piggybacks on the write action
@@ -100,6 +109,8 @@ class StageCatalog:
             "partitions": lineage,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if meta:
+            manifest["meta"] = meta
         self._commit_manifest(name, manifest)  # atomic commit point
         return written
 

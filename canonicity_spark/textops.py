@@ -40,8 +40,16 @@ def stopword_hits(words: list[str], text: str | F.Column = "text") -> F.Column:
     token-list definition is pinned by the DuckDB oracles (which still
     use the list form) and tests/props.
     """
+    if not words:
+        # '(?:)' would match at every boundary; an empty list means zero
+        # hits by definition (ADVICE round 3)
+        return F.lit(0)
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    pat = r"(?i)(?<=\s)(?:" + "|".join(words) + r")(?=\s)"
+    # re.escape: a stopword containing a regex metacharacter must match
+    # literally, not change the pattern's semantics (ADVICE round 3)
+    pat = r"(?i)(?<=\s)(?:" + "|".join(re.escape(w) for w in words) + r")(?=\s)"
     return F.regexp_count(F.concat(F.lit(" "), c, F.lit(" ")), F.lit(pat))
 
 

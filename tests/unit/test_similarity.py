@@ -155,6 +155,40 @@ def test_ivf_index_stage_written(spark, clustered_embeddings, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 5
 
 
+def test_ivf_index_resumes_from_manifest(spark, clustered_embeddings, tmp_path, monkeypatch):
+    """Round-4 centroid persistence (ADVICE round 3): a second build
+    against a committed stage rehydrates the centroid matrix from the
+    stage manifest and SKIPS k-means + re-assignment entirely — the
+    index resumes for free across catalog instances."""
+    import numpy as np
+
+    from canonicity_spark.io_catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "ivf"))
+    index = similarity.build_ivf_index(
+        clustered_embeddings, n_centroids=8, catalog=cat
+    )
+    # second build must not train or assign: poison the kmeans path
+    monkeypatch.setattr(
+        similarity,
+        "_kmeans_centroids",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("rebuilt")),
+    )
+    resumed = similarity.build_ivf_index(
+        clustered_embeddings,
+        n_centroids=8,
+        catalog=ParquetCatalog(str(tmp_path / "ivf")),
+    )
+    # JSON floats round-trip exactly -> bit-identical centroids
+    assert np.array_equal(resumed.centroids, index.centroids)
+    q = clustered_embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.ivf_query(index, q, k=5, n_probe=2, exclude_self=True).collect()
+    b = similarity.ivf_query(resumed, q, k=5, n_probe=2, exclude_self=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 5
+
+
 def test_simhash_near_dup_hamming(spark):
     docs = spark.createDataFrame(
         [
@@ -176,13 +210,17 @@ def test_simhash_near_dup_hamming(spark):
 def _simhash64_reference(t: str) -> int:
     """Straight-line per-token implementation, kept as the parity oracle
     for the vectorized kernel (round 3: token hash basis is the first 16
-    hex chars of md5, matching the DuckDB oracle in __spark_entry__)."""
+    hex chars of md5, matching the DuckDB oracle in __spark_entry__;
+    round 4: tokenizer splits on RE2's ASCII '\\s' class [\\t\\n\\f\\r ]
+    exactly like the oracle's regexp_split_to_array — NOT on Python's
+    Unicode whitespace)."""
     import hashlib
+    import re
 
     if not t:
         return 0
     acc = np.zeros(64, dtype=np.int64)
-    for tok in t.split():
+    for tok in (w for w in re.split(r"[\t\n\f\r ]+", t) if w):
         h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == np.uint64(1), 1, -1)
@@ -202,6 +240,10 @@ def test_simhash_vectorized_parity(spark):
         "single",
         "the the the the of of",
         "Müller Gmbh works for Žünder Aß",
+        # Unicode whitespace must NOT split tokens (ADVICE round 3: the
+        # oracle's RE2 '\s' is ASCII-only; NBSP/U+2028/\x85/\v are token
+        # bytes, not separators, on both sides now)
+        "non breaking and line sep and nel\x85 and vt\x0btab",
         " ".join(vocab[i % len(vocab)] for i in range(5000)),
     ] + [
         " ".join(rng.choice(vocab, size=rng.randint(1, 200)))
