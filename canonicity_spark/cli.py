@@ -88,6 +88,7 @@ def main(argv: list[str] | None = None) -> None:
             min_tokens=args.min_tokens,
             max_digit_ratio=args.max_digit_ratio,
             near_dup_threshold=args.near_dup_threshold,
+            n_quarantined=n_quarantined,
             resume=args.resume,
         )
         n_docs = docs.count()

@@ -56,6 +56,10 @@ class CurationConf:
     max_digit_ratio: float = 0.3
     # near-dup removal threshold (exact 5-gram jaccard on LSH candidates)
     near_dup_threshold: float = 0.9
+    # rows the ingest reader quarantined (malformed JSONL/CSV lines)
+    # BEFORE curation; recorded in the first stage's manifest so the
+    # drop funnel includes ingest hygiene (VERDICT round 3 #7)
+    n_quarantined: int | None = None
     resume: bool = True
     stop_after: str | None = None
     catalog_factory: Callable[["CurationConf"], StageCatalog] | None = None
@@ -120,12 +124,12 @@ def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
             conf.work_dir, run_id=conf.run_id, fingerprint=fingerprint
         )
 
-    def stage(name: str, compute) -> DataFrame:
+    def stage(name: str, compute, meta: dict | None = None) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
             return cat.read_stage(spark, name)
         t0 = time.perf_counter()
         pins_before = cache.mark()
-        out = cat.write_stage(compute(), name)
+        out = cat.write_stage(compute(), name, meta=meta)
         conf.stages_run.append(name)
         conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
         # scoped release, same as pipeline.stage: only pins this stage
@@ -142,7 +146,17 @@ def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
 
     docs = docs_narrow
     try:
-        scored = stage("scored", lambda: score_docs(docs))
+        scored = stage(
+            "scored",
+            lambda: score_docs(docs),
+            # ingest hygiene rides the first stage's manifest: the drop
+            # funnel then starts at the reader, not the first gate
+            meta=(
+                {"quarantined": conf.n_quarantined}
+                if conf.n_quarantined is not None
+                else None
+            ),
+        )
         check_stop("scored")
 
         def gate():
@@ -206,5 +220,11 @@ def run(spark: SparkSession, docs: DataFrame, conf: CurationConf) -> DataFrame:
 
 def drop_funnel(cat: StageCatalog) -> dict[str, int]:
     """The curation drop funnel straight from the stage manifests
-    (zero recount jobs): stage -> rows_out."""
-    return {name: cat.read_manifest(name)["rows_out"] for name in STAGES}
+    (zero recount jobs): stage -> rows_out, prefixed by the ingest
+    reader's quarantined-row count when the run recorded one."""
+    funnel: dict[str, int] = {}
+    scored_meta = cat.read_manifest("scored").get("meta") or {}
+    if "quarantined" in scored_meta:
+        funnel["quarantined"] = scored_meta["quarantined"]
+    funnel.update({name: cat.read_manifest(name)["rows_out"] for name in STAGES})
+    return funnel

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def resolve_triples(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame:
+def resolve_triples(
+    raw_triples: DataFrame,
+    surface_map: DataFrame,
+    skew_threshold: int | None = None,
+) -> DataFrame:
     """M1 — rewrite subject/object surfaces to canonical entity ids.
 
     raw_triples carry the normalized surface of each endpoint (written
@@ -33,9 +37,24 @@ def resolve_triples(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame
     and falls back to a shuffle join (AQE skew-aware) when a web-scale
     vocabulary doesn't.
 
+    ``skew_threshold``: opt-in pathological-hot-key handling for the
+    shuffle-join regime (a celebrity surface that is a large fraction
+    of all triples). When set, both M1 joins route through
+    ``skew.hot_key_join``: surfaces with more than ``skew_threshold``
+    triple rows are split out and broadcast-joined BEFORE the shuffle
+    materializes a whole celebrity partition on one reducer (AQE can
+    only split it after). Default off because the detection aggregate
+    is an extra pass over mention-scale triples — pay it only when the
+    corpus is known celebrity-skewed AND the surface map exceeds the
+    broadcast threshold (a broadcast M1 join has no skew problem).
+    Output is identical either way (skew.hot_key_join equivalence is
+    pinned in tests/unit/test_skew.py).
+
     Subjects/objects without a surface keep their literal (media-span
     doc subjects, year/count objects).
     """
+    from canonicity_spark import skew
+
     subj_map = surface_map.select(
         F.col("norm_surface").alias("subj_norm_surface"),
         F.col("entity_id").alias("subj_entity"),
@@ -44,9 +63,22 @@ def resolve_triples(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame
         F.col("norm_surface").alias("obj_norm_surface"),
         F.col("entity_id").alias("obj_entity"),
     )
+    if skew_threshold is not None:
+        resolved = skew.hot_key_join(
+            skew.hot_key_join(
+                raw_triples, subj_map, "subj_norm_surface", "left", skew_threshold
+            ),
+            obj_map,
+            "obj_norm_surface",
+            "left",
+            skew_threshold,
+        )
+    else:
+        resolved = raw_triples.join(subj_map, "subj_norm_surface", "left").join(
+            obj_map, "obj_norm_surface", "left"
+        )
     return (
-        raw_triples.join(subj_map, "subj_norm_surface", "left")
-        .join(obj_map, "obj_norm_surface", "left")
+        resolved
         .select(
             "doc_id",
             F.coalesce("subj_entity", "subj_literal").alias("subj"),
@@ -65,8 +97,12 @@ def aggregate_triples(resolved: DataFrame) -> DataFrame:
     )
 
 
-def run(raw_triples: DataFrame, surface_map: DataFrame) -> DataFrame:
+def run(
+    raw_triples: DataFrame,
+    surface_map: DataFrame,
+    skew_threshold: int | None = None,
+) -> DataFrame:
     """raw_triples ⋈ surface_map -> deterministic triples table."""
     return aggregate_triples(
-        resolve_triples(raw_triples, surface_map)
+        resolve_triples(raw_triples, surface_map, skew_threshold=skew_threshold)
     ).sortWithinPartitions("subj", "pred", "obj")

@@ -30,6 +30,11 @@ class PipelineConf:
     tau: float = 0.6
     cc_max_iter: int = 20
     use_salting: bool = True
+    # opt-in M1 hot-key split (skew.hot_key_join) for celebrity-skewed
+    # corpora whose surface map exceeds the broadcast threshold; output
+    # is identical, only the physical join strategy changes — so it is
+    # deliberately NOT part of the resume fingerprint
+    m1_skew_threshold: int | None = None
     resume: bool = True
     # stop after this stage (for kill/resume tests); None = run all
     stop_after: str | None = None
@@ -156,7 +161,10 @@ def run(
         check_stop("surface_map")
 
         triples = stage(
-            "triples", lambda: materialize.run(raw_triples, surface_map)
+            "triples",
+            lambda: materialize.run(
+                raw_triples, surface_map, skew_threshold=conf.m1_skew_threshold
+            ),
         )
         check_stop("triples")
 

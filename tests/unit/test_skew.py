@@ -43,3 +43,31 @@ def test_no_hot_keys_degenerates_cleanly(spark):
     plain = big.join(small, "k", "inner")
     robust = skew.hot_key_join(big, small, "k", "inner", threshold=1000)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, robust.collect()))
+
+def test_m1_skew_threshold_equivalent(spark):
+    """The opt-in M1 hot-key split (PipelineConf.m1_skew_threshold ->
+    materialize.run) produces the exact same triples table as the
+    default join strategy, on a corpus with one celebrity subject
+    surface holding most of the triples."""
+    from canonicity_spark import materialize
+
+    rows = [
+        (f"d{i}", "bob dylan", None, "wrote", None, f"song {i % 7}", 0.9)
+        for i in range(300)
+    ] + [
+        ("dx", "alice", None, "knows", "bob dylan", None, 0.8),
+        ("dy", None, "doc:dy", "hasMedia", None, "media://dy", 1.0),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "doc_id string, subj_norm_surface string, subj_literal string, "
+        "pred string, obj_norm_surface string, obj_literal string, conf double",
+    )
+    sm = spark.createDataFrame(
+        [("bob dylan", "E1"), ("alice", "E2")], ["norm_surface", "entity_id"]
+    )
+    plain = sorted(map(tuple, materialize.run(raw, sm).collect()))
+    split = sorted(
+        map(tuple, materialize.run(raw, sm, skew_threshold=100).collect())
+    )
+    assert plain == split and len(plain) > 0

@@ -102,3 +102,27 @@ def test_interleaved_jsonl_pipeline_matches_parquet(spark, docs, alias_dict, tmp
         pipeline.PipelineConf(work_dir=str(tmp_path / "wp")),
     )
     assert sorted(map(tuple, t_json.collect())) == sorted(map(tuple, t_parq.collect()))
+
+
+def test_quarantine_count_lands_in_stage_manifest(spark, jsonl_path, tmp_path):
+    """Ingest hygiene in the drop funnel (round 4): the reader's
+    quarantined-row count is recorded in the first curation stage's
+    manifest and surfaces through curate.drop_funnel."""
+    from canonicity_spark import curate
+    from canonicity_spark.io_catalog import ParquetCatalog
+
+    clean, bad = adapter.quarantine_malformed(
+        adapter.read_documents(spark, jsonl_path, fmt="jsonl")
+    )
+    conf = curate.CurationConf(
+        work_dir=str(tmp_path / "wd"),
+        allowed_langs=None,
+        min_tokens=1,
+        n_quarantined=bad.count(),
+    )
+    out = curate.run(spark, clean, conf)
+    assert out.count() == 2
+    cat = ParquetCatalog(str(tmp_path / "wd"))
+    assert cat.read_manifest("scored")["meta"]["quarantined"] == 1
+    funnel = curate.drop_funnel(cat)
+    assert funnel["quarantined"] == 1 and funnel["scored"] == 2
