@@ -56,8 +56,20 @@ PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 
 
 def prewarm(corpus: str) -> None:
-    """Pull the input corpus through the page cache (RAM-speed reads
-    for every run at both levels)."""
+    """Identical page-cache state for every run at both levels: sync +
+    drop the cache (root-only; skipped silently elsewhere), then pull
+    the input corpus back through it. Without the drop, whatever a
+    previous run left cached (its own stage scratch, fixture shards)
+    varies run to run and showed up as 10%-scale wall variance on the
+    4N side in round 3 — exactly the noise a median-of-3 around the
+    0.8 bar cannot afford. With it, every run starts from the same
+    state: corpus hot, everything else cold."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+    except (OSError, PermissionError):
+        pass  # not root / not Linux — prewarm alone still helps
     for root, _dirs, files in os.walk(corpus):
         for f in files:
             with open(os.path.join(root, f), "rb") as fh:
