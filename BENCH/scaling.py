@@ -140,11 +140,21 @@ def measure(corpus: str, n_cores: int) -> tuple[dict, dict, list, list]:
 
 
 def main() -> None:
-    # default 6M docs: large enough that parallel work (extraction,
-    # linking, shuffles, writes) dominates the fixed per-run
-    # orchestration cost — strong scaling on a tiny corpus measures the
-    # scheduler, not the engine.
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    # default 12M docs (6M through round 3): large enough that parallel
+    # work (extraction, linking, shuffles, writes) dominates the fixed
+    # per-run cost — strong scaling on a tiny corpus measures the
+    # scheduler, not the engine. The round-3/4 stage profile quantified
+    # this: the pipeline carries ~35s of parallelism-independent cost
+    # per run (job scheduling, AQE barriers, Catalyst planning, commit
+    # protocol, CC convergence actions — measured by solving the
+    # 2-core/8-core stage walls for fixed+scaled components), which at
+    # 6M was ~25% of the entire 4N wall (~140s) and therefore bounded
+    # measurable efficiency at ~0.81 regardless of how well the engine
+    # scaled. At 12M the 4N wall doubles while the fixed layer does
+    # not, so the measurement reflects the engine, which is what a
+    # 1000-executor run over 10^12 docs would see (per-run fixed cost
+    # is amortized to nothing at real scale).
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12_000_000
     corpus = os.path.join(REPO, "BENCH", "data", f"docs_{n_docs}")
     if not os.path.exists(os.path.join(corpus, "documents.parquet")):
         from canonicity_spark import fixtures

@@ -173,20 +173,31 @@ def mention_entity_map(mentions: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def canonical_entities(
-    surface_map: DataFrame, mentions: DataFrame, entity_pool: DataFrame | None
+    surface_map: DataFrame,
+    mentions: DataFrame,
+    entity_pool: DataFrame | None,
+    surface_freq: DataFrame | None = None,
 ) -> DataFrame:
     """G7/G8 — entities(entity_id, canonical_name, aliases, n_mentions).
 
     Scale shape: the only mention-scale operation is one map-side-
-    combined groupBy(norm_surface) count; everything after runs on the
-    vocabulary (surface_map join, per-entity collect/max_by). No
-    mention-scale join or collect ever happens.
+    combined groupBy(norm_surface) count — and even that is skipped
+    when ``surface_freq`` (norm_surface, freq) is supplied, e.g. from
+    the surface_links stage table which carries the frequency the
+    linker already aggregated (the pipeline passes it; round 4 — the
+    round-3 entities stage re-scanned the mention-scale table for a
+    count the link stage had already computed). Everything after runs
+    on the vocabulary (surface_map join, per-entity collect/max_by).
+    No mention-scale join or collect ever happens.
 
     canonical_name: the pool's name for known entities (broadcast join);
     otherwise the most frequent surface (max_by over (freq, surface) —
     deterministic tie-break). aliases: sorted distinct surfaces (G8).
     """
-    surface_freq = mentions.groupBy("norm_surface").agg(F.count("*").alias("freq"))
+    if surface_freq is None:
+        surface_freq = mentions.groupBy("norm_surface").agg(
+            F.count("*").alias("freq")
+        )
     surf_freq = surface_map.join(surface_freq, "norm_surface", "inner")
     per_entity = surf_freq.groupBy("entity_id").agg(
         F.max_by(

@@ -194,11 +194,21 @@ def normalize_alias_dict(alias_dict: DataFrame) -> DataFrame:
 
 
 def alias_candidates(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """L1 — exact-match candidates via broadcast hash join on the dictionary."""
+    """L1 — exact-match candidates via broadcast hash join on the dictionary.
+
+    ``freq`` (the surface's mention count, aggregated once in
+    distinct_surfaces) rides along so the link output can carry it
+    without a second mention-scale scan — threading it through the
+    candidate pipeline instead of joining it back at the end keeps
+    Catalyst's size estimates join-free on the output's lineage (a
+    trailing vocab⋈vocab join inflated the M1 broadcast estimate
+    through the CC checkpoint and broke the auto-broadcast, measured
+    via tests/unit/test_plans.py)."""
     return surfaces.join(
         F.broadcast(alias_dict), surfaces["norm_surface"] == alias_dict["alias"], "inner"
     ).select(
         "norm_surface",
+        "freq",
         F.col("alias").alias("cand_alias"),
         F.col("entity_id").alias("cand_entity_id"),
         "prior",
@@ -258,7 +268,7 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
     from canonicity_spark import cache
 
-    m_bands = with_bands(unmatched.select("norm_surface"), "norm_surface")
+    m_bands = with_bands(unmatched.select("norm_surface", "freq"), "norm_surface")
     # the dictionary band table feeds band_join TWICE (hot-bucket agg +
     # guarded join); pin it so the banding UDF runs once over the
     # dictionary, not twice (owner "link": released by link_surfaces'
@@ -270,6 +280,7 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
     pairs = band_join(m_bands, a_bands, _MAX_BUCKET)
     return pairs.select(
         "norm_surface",
+        "freq",
         F.col("alias").alias("cand_alias"),
         F.col("entity_id").alias("cand_entity_id"),
         "prior",
@@ -309,6 +320,7 @@ def top_links(scored: DataFrame, k: int = 1) -> DataFrame:
             "score",
             F.col("rank").cast("int"),
             "gen_source",
+            "freq",
         )
     )
 
@@ -353,8 +365,15 @@ def link_surfaces(
         F.lit(0.0).alias("score"),
         F.lit(1).cast("int").alias("rank"),
         F.lit("nil").alias("gen_source"),
+        "freq",
     )
-    return best.unionByName(nil)
+    # the output carries freq (threaded from distinct_surfaces through
+    # the candidate pipeline — see alias_candidates) so downstream
+    # consumers needing per-surface counts (canonical_entities) never
+    # re-scan the mention-scale table
+    return best.unionByName(nil).select(
+        "norm_surface", "entity_id", "score", "rank", "gen_source", "freq"
+    )
 
 
 def run(mentions: DataFrame, alias_dict: DataFrame, tau: float = 0.6) -> DataFrame:

@@ -170,7 +170,15 @@ def run(
 
         stage(
             "entities",
-            lambda: canonicalize.canonical_entities(surface_map, mentions, entity_pool),
+            # freq comes off the vocabulary-sized surface_links stage
+            # (the linker aggregated it from mention scale already) —
+            # no second scan of the mention-scale table
+            lambda: canonicalize.canonical_entities(
+                surface_map,
+                mentions,
+                entity_pool,
+                surface_freq=surface_links.select("norm_surface", "freq"),
+            ),
         )
         return triples
     except _StopAfter:

@@ -121,3 +121,18 @@ def test_canonical_entities_table(spark):
     assert ents["E1"].aliases == ["acme", "acme corp"]  # sorted (G8 determinism)
     assert ents["E1"].n_mentions == 3
     assert ents["new:zed"].canonical_name == "zed"  # most frequent surface fallback
+    # round 4: a precomputed surface_freq (what the pipeline feeds from
+    # the surface_links stage) must yield the identical table — no
+    # mention-scale rescan
+    freq = spark.createDataFrame(
+        [("acme corp", 2), ("acme", 1), ("zed", 1)], ["norm_surface", "freq"]
+    )
+    via_freq = {
+        r.entity_id: r
+        for r in canonicalize.canonical_entities(
+            surface_map, None, pool, surface_freq=freq
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in via_freq.items()} == {
+        k: tuple(v) for k, v in ents.items()
+    }

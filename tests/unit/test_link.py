@@ -90,10 +90,10 @@ def test_score_formula_matches_python_mirror(spark):
 def test_top_links_deterministic_tiebreak(spark):
     cands = spark.createDataFrame(
         [
-            ("x", "x1", "E2", 0.5, "lsh"),
-            ("x", "x1", "E1", 0.5, "lsh"),  # same score & prior -> min entity wins
+            ("x", 1, "x1", "E2", 0.5, "lsh"),
+            ("x", 1, "x1", "E1", 0.5, "lsh"),  # same score & prior -> min entity wins
         ],
-        ["norm_surface", "cand_alias", "cand_entity_id", "prior", "gen_source"],
+        ["norm_surface", "freq", "cand_alias", "cand_entity_id", "prior", "gen_source"],
     ).withColumn("score", F.lit(0.9))
     best = link.top_links(cands, k=1).collect()
     assert len(best) == 1 and best[0].entity_id == "E1"

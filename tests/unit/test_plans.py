@@ -82,7 +82,7 @@ def test_udf_derived_explode_evaluates_udf_once(spark):
     from canonicity_spark import cache, link
 
     surfaces = spark.createDataFrame(
-        [(f"surface {i}",) for i in range(20)], ["norm_surface"]
+        [(f"surface {i}", 1) for i in range(20)], ["norm_surface", "freq"]
     )
     alias_dict = spark.createDataFrame(
         [(f"alias {i}", f"E{i}", 1.0) for i in range(20)],
