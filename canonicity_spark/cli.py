@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--tau", type=float, default=0.6)
     p.add_argument("--no-salting", action="store_true")
+    p.add_argument(
+        "--m1-skew-threshold",
+        type=int,
+        default=None,
+        help="opt-in hot-key split for the M1 surface-resolution joins: "
+        "surfaces with more triple rows than this are broadcast-joined "
+        "separately (skew.hot_key_join). Use on celebrity-skewed corpora "
+        "whose surface vocabulary exceeds the broadcast threshold; "
+        "output is identical either way",
+    )
     p.add_argument("--master", default=None, help="sandbox only; omit under spark-submit")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument(
@@ -138,6 +148,7 @@ def main(argv: list[str] | None = None) -> None:
         run_id=args.run_id,
         tau=args.tau,
         use_salting=not args.no_salting,
+        m1_skew_threshold=args.m1_skew_threshold,
         resume=args.resume,
     )
     t0 = time.perf_counter()
