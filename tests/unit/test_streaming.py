@@ -1,0 +1,125 @@
+"""Streaming ingest: per-batch curation + incremental dedup against the
+archive, exactly-once batch replay, and the end-to-end file-source
+stream (canonicity_spark/streaming.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from canonicity_spark import streaming
+from canonicity_spark.io_catalog import ParquetCatalog
+
+# gate-passing English text with a dense 5-gram shingle set
+BASE = (
+    "the cat sat on the mat and the dog ran to the park for a while "
+    "and it was a good day to be out in the sun with the birds singing "
+    "over the quiet green field near the old stone bridge."
+)
+NEAR = BASE.replace("good day", "fine day")  # one-word change: near-dup
+JUNK = "1234 5678 9012 3456"  # digit_ratio gate drops it
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def _conf(tmp_path):
+    return streaming.StreamConf(
+        work_dir=str(tmp_path / "ingest"), near_dup_threshold=0.8
+    )
+
+
+def _curated_ids(spark, conf):
+    cat = ParquetCatalog(conf.work_dir)
+    ids = set()
+    for b in streaming.committed_batches(cat):
+        ids |= {
+            r.doc_id for r in cat.read_stage(spark, f"{b}_curated").collect()
+        }
+    return ids
+
+
+def test_batch_ingest_dedups_against_archive(spark, tmp_path):
+    conf = _conf(tmp_path)
+    b0 = _df(spark, [(1, BASE), (2, BASE), (3, NEAR), (4, JUNK)])
+    s0 = streaming.process_batch(spark, b0, 0, conf)
+    # exact dup (2) loses to min doc id; near-dup (3) clusters with 1
+    # and loses; junk (4) fails the digit gate
+    assert _curated_ids(spark, conf) == {"1"}
+    assert s0["curated"] == 1 and s0["quarantined"] == 0
+
+    fresh = (
+        "a completely different document about sailing boats across the "
+        "wide open sea with the wind and the waves for company all day."
+    )
+    b1 = _df(spark, [(11, BASE), (12, NEAR), (13, fresh)])
+    s1 = streaming.process_batch(spark, b1, 1, conf)
+    # 11 = exact dup of the ARCHIVED doc 1; 12 = near-dup of it (its
+    # cluster touches the archive -> no new member survives); 13 is new
+    assert _curated_ids(spark, conf) == {"1", "13"}
+    assert s1["curated"] == 1
+
+
+def test_batch_replay_is_exactly_once(spark, tmp_path):
+    conf = _conf(tmp_path)
+    b0 = _df(spark, [(1, BASE)])
+    assert streaming.process_batch(spark, b0, 0, conf)["curated"] == 1
+    # full replay (Structured Streaming redelivers a batch id on
+    # recovery): committed marker short-circuits
+    assert streaming.process_batch(spark, b0, 0, conf) is None
+    assert _curated_ids(spark, conf) == {"1"}
+
+    # partial-commit replay: bands committed, curated marker missing
+    # (the crash window) — reprocessing yields the identical archive
+    b1 = _df(spark, [(21, "another unique text about the weather and the rain in the hills today for everyone.")])
+    streaming.process_batch(spark, b1, 1, conf)
+    cat = ParquetCatalog(conf.work_dir)
+    os.remove(cat._manifest("b000001_curated"))
+    assert streaming.process_batch(spark, b1, 1, conf)["curated"] == 1
+    assert _curated_ids(spark, conf) == {"1", "21"}
+
+
+def test_file_stream_end_to_end(spark, tmp_path):
+    """availableNow file-source stream: two sweeps over a growing
+    directory, malformed-line quarantine recorded in the batch
+    manifest, archive deduped across sweeps."""
+    src = tmp_path / "src"
+    src.mkdir()
+    conf = _conf(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    rows0 = [
+        {"doc_id": 1, "text": BASE, "lang": "en", "source": "web", "n_chars": len(BASE)},
+        {"doc_id": 2, "text": NEAR, "lang": "en", "source": "web", "n_chars": len(NEAR)},
+    ]
+    (src / "part0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows0) + '\n{"doc_id": 9, "text": "broken'
+    )
+    q = streaming.run_ingest_stream(spark, str(src), conf, ckpt)
+    q.awaitTermination(120)
+    assert _curated_ids(spark, conf) == {"1"}
+
+    fresh = (
+        "fresh follow up content about music and the songs people sing "
+        "in the evening when the work of the day is done at last."
+    )
+    rows1 = [
+        {"doc_id": 11, "text": BASE, "lang": "en", "source": "web", "n_chars": len(BASE)},
+        {"doc_id": 12, "text": fresh, "lang": "en", "source": "web", "n_chars": len(fresh)},
+    ]
+    (src / "part1.jsonl").write_text("\n".join(json.dumps(r) for r in rows1))
+    q2 = streaming.run_ingest_stream(spark, str(src), conf, ckpt)
+    q2.awaitTermination(120)
+    assert _curated_ids(spark, conf) == {"1", "12"}
+
+    cat = ParquetCatalog(conf.work_dir)
+    batches = streaming.committed_batches(cat)
+    assert len(batches) == 2
+    # ingest hygiene rides the batch manifest
+    assert cat.read_manifest(f"{batches[0]}_curated")["meta"]["quarantined"] == 1
