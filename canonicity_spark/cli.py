@@ -26,10 +26,12 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="canonicity_spark")
     p.add_argument(
         "--mode",
-        choices=["kg", "curate"],
+        choices=["kg", "curate", "ingest"],
         default="kg",
         help="kg = full KG pipeline (default); curate = corpus-curation "
-        "pipeline (gates -> dedup -> near-dup clusters, curate.py)",
+        "pipeline (gates -> dedup -> near-dup clusters, curate.py); "
+        "ingest = Structured-Streaming sweep over a document directory "
+        "with incremental dedup against the archive (streaming.py)",
     )
     p.add_argument("--input", required=True, help="interleaved documents parquet")
     p.add_argument("--alias-dict", default=None, help="alias dictionary parquet (kg mode)")
@@ -68,9 +70,20 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-digit-ratio", type=float, default=0.3)
     p.add_argument("--near-dup-threshold", type=float, default=0.9)
+    # ingest-mode knobs
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Structured-Streaming checkpoint location "
+                   "(required in ingest mode; reuse it across sweeps "
+                   "for exactly-once file processing)")
+    p.add_argument("--compact-after", type=int, default=None,
+                   help="ingest mode: fold the archive's batch stages "
+                   "into one base when at least this many live batches "
+                   "exist (small-files maintenance)")
     args = p.parse_args(argv)
     if args.mode == "kg" and not args.alias_dict:
         p.error("--alias-dict is required in kg mode")
+    if args.mode == "ingest" and not args.checkpoint_dir:
+        p.error("--checkpoint-dir is required in ingest mode")
 
     from canonicity_spark import pipeline, session
 
@@ -80,6 +93,48 @@ def main(argv: list[str] | None = None) -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "ingest":
+        from canonicity_spark import streaming
+        from canonicity_spark.io_catalog import ParquetCatalog
+
+        conf = streaming.StreamConf(
+            work_dir=args.work_dir,
+            fmt=args.input_format,
+            allowed_langs=(
+                None if args.allowed_langs == "all"
+                else tuple(args.allowed_langs.split(","))
+            ),
+            min_tokens=args.min_tokens,
+            max_digit_ratio=args.max_digit_ratio,
+            near_dup_threshold=args.near_dup_threshold,
+        )
+        t0 = time.perf_counter()
+        q = streaming.run_ingest_stream(
+            spark, args.input, conf, args.checkpoint_dir
+        )
+        q.awaitTermination()
+        compacted = None
+        if args.compact_after is not None:
+            compacted = streaming.compact_archive(
+                spark, conf, min_batches=args.compact_after
+            )
+        base, live = streaming.archive_parts(ParquetCatalog(args.work_dir))
+        print(
+            json.dumps(
+                {
+                    "mode": "ingest",
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    "batches": conf.batch_stats,
+                    "archive_base": base,
+                    "archive_live_batches": live,
+                    "compacted": compacted,
+                    "master": args.master or "submit-provided",
+                }
+            )
+        )
+        sys.stdout.flush()
+        return
 
     if args.mode == "curate":
         from canonicity_spark import adapter, curate

@@ -146,6 +146,13 @@ class StageCatalog:
             raise FileNotFoundError(f"stage {name!r} has no committed manifest")
         return manifest
 
+    def drop_stage(self, name: str) -> None:
+        """Remove a stage's data AND manifest (garbage collection after
+        compaction — see streaming.compact_archive). Never part of a
+        correctness path: by protocol a dropped stage simply looks
+        never-committed."""
+        self._drop(name)
+
     # -- lineage table (S7) ----------------------------------------------
     def lineage(self, spark: SparkSession) -> DataFrame:
         """The _lineage table assembled from all committed manifests."""
@@ -264,6 +271,11 @@ class ParquetCatalog(StageCatalog):
             if os.path.isdir(self._dir(n))
         ]
 
+    def _drop(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+
 
 MANIFEST_PROP = "canonicity.manifest"
 
@@ -349,6 +361,10 @@ class IcebergCatalog(StageCatalog):
         spark = SparkSession.getActiveSession()
         cat, db = self.prefix.split(".", 1)
         return [t.name for t in spark.catalog.listTables(f"{cat}.{db}")]
+
+    def _drop(self, name: str) -> None:
+        spark = SparkSession.getActiveSession()
+        spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
 
 
 def make_catalog(conf: dict) -> StageCatalog:

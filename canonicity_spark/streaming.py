@@ -54,6 +54,7 @@ from canonicity_spark import adapter, canonicalize, curate, similarity
 from canonicity_spark.io_catalog import ParquetCatalog, StageCatalog
 
 _BATCH_RE = re.compile(r"^b(\d{6})_curated$")
+_BASE_RE = re.compile(r"^base_(\d{6})_curated$")
 
 
 @dataclass
@@ -104,20 +105,90 @@ def committed_batches(cat: StageCatalog) -> list[str]:
     return sorted(out)
 
 
+def archive_parts(cat: StageCatalog) -> tuple[str | None, list[str]]:
+    """(latest committed base prefix or None, live batch prefixes).
+
+    A base is a compacted union of earlier batches (compact_archive);
+    its curated manifest's ``meta.covers`` lists every batch prefix it
+    absorbed (cumulatively, across prior bases), so a batch stage that
+    has been compacted but not yet garbage-collected is never counted
+    twice — crash-safe: compaction's atomic base commit flips the
+    covered batches out of discovery, deletion afterwards is only GC.
+    """
+    bases = []
+    for name in cat._stage_names():
+        m = _BASE_RE.match(name)
+        if m and cat.stage_committed(name):
+            bases.append(int(m.group(1)))
+    base = f"base_{max(bases):06d}" if bases else None
+    covered: set[str] = set()
+    if base is not None:
+        covered = set(
+            (cat.read_manifest(f"{base}_curated").get("meta") or {}).get("covers", [])
+        )
+    live = [b for b in committed_batches(cat) if b not in covered]
+    return base, live
+
+
 def _archive(spark: SparkSession, cat: StageCatalog) -> tuple[DataFrame, DataFrame] | None:
-    """(curated docs, band rows) across all committed batches, or None
-    when the archive is empty. Unions of stage reads — file-level
-    appends, nothing rewritten or re-banded."""
-    batches = committed_batches(cat)
-    if not batches:
+    """(curated docs, band rows) across the latest base + live batches,
+    or None when the archive is empty. Unions of stage reads —
+    file-level appends, nothing rewritten or re-banded."""
+    base, live = archive_parts(cat)
+    parts = ([base] if base else []) + live
+    if not parts:
         return None
     docs = bands = None
-    for b in batches:
+    for b in parts:
         d = cat.read_stage(spark, f"{b}_curated")
         bd = cat.read_stage(spark, f"{b}_bands")
         docs = d if docs is None else docs.unionByName(d)
         bands = bd if bands is None else bands.unionByName(bd)
     return docs, bands
+
+
+def compact_archive(
+    spark: SparkSession, conf: StreamConf, min_batches: int = 2, gc: bool = True
+) -> dict | None:
+    """Fold the live batch stages (and the previous base) into one
+    consolidated base stage pair — the small-files maintenance pass a
+    long-running ingest needs: after 10^4 micro-batches the archive
+    union is 2x10^4 stage reads per batch; after compaction it is one
+    base + the batches since.
+
+    Crash-safe ordering: the new base's bands commit first, its curated
+    manifest (carrying the cumulative ``covers`` list) commits LAST and
+    atomically switches discovery over; only then are the absorbed
+    batch stages and the old base dropped (``gc=True``) — a crash at
+    any point leaves discovery reading a consistent, never-double-
+    counted archive. Returns a summary, or None if fewer than
+    ``min_batches`` live batches exist (nothing worth folding).
+    """
+    cat = make_catalog(conf)
+    base, live = archive_parts(cat)
+    if len(live) < min_batches:
+        return None
+    arch = _archive(spark, cat)
+    docs, bands = arch
+    prev_covered: set[str] = set()
+    next_ver = 1
+    if base is not None:
+        prev_covered = set(
+            (cat.read_manifest(f"{base}_curated").get("meta") or {}).get("covers", [])
+        )
+        next_ver = int(base.split("_")[1]) + 1
+    new_base = f"base_{next_ver:06d}"
+    covers = sorted(prev_covered | set(live))
+    cat.write_stage(bands, f"{new_base}_bands")
+    cat.write_stage(docs, f"{new_base}_curated", meta={"covers": covers})
+    if gc:
+        for b in live:
+            cat.drop_stage(f"{b}_bands")
+            cat.drop_stage(f"{b}_curated")
+        if base is not None:
+            cat.drop_stage(f"{base}_bands")
+            cat.drop_stage(f"{base}_curated")
+    return {"base": new_base, "folded_batches": len(live), "covers": covers}
 
 
 def _normed_texts(docs: DataFrame) -> DataFrame:
@@ -144,8 +215,14 @@ def process_batch(
     or None for an already-committed replay."""
     cat = make_catalog(conf)
     name = f"b{batch_id:06d}"
-    if cat.stage_committed(f"{name}_curated"):
-        return None  # replay of a fully-committed batch: exactly-once no-op
+    base, _live = archive_parts(cat)
+    covered = (
+        set((cat.read_manifest(f"{base}_curated").get("meta") or {}).get("covers", []))
+        if base
+        else set()
+    )
+    if name in covered or cat.stage_committed(f"{name}_curated"):
+        return None  # replay of a committed (possibly compacted) batch: no-op
 
     clean, bad = adapter.quarantine_malformed(batch_df)
     n_bad = bad.count()

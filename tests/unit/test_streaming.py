@@ -123,3 +123,44 @@ def test_file_stream_end_to_end(spark, tmp_path):
     assert len(batches) == 2
     # ingest hygiene rides the batch manifest
     assert cat.read_manifest(f"{batches[0]}_curated")["meta"]["quarantined"] == 1
+
+
+def test_compaction_preserves_dedup_and_discovery(spark, tmp_path):
+    """compact_archive folds batch stages into one base (small-files
+    maintenance): discovery switches atomically, replayed compacted
+    batch ids stay no-ops, and post-compaction ingest dedups against
+    the folded archive exactly as before."""
+    conf = _conf(tmp_path)
+    other = (
+        "an unrelated report about farming and the harvest in the valley "
+        "where the corn grows tall beside the river in the late summer sun."
+    )
+    streaming.process_batch(spark, _df(spark, [(1, BASE)]), 0, conf)
+    streaming.process_batch(spark, _df(spark, [(21, other)]), 1, conf)
+
+    summary = streaming.compact_archive(spark, conf)
+    assert summary["folded_batches"] == 2
+    cat = ParquetCatalog(conf.work_dir)
+    base, live = streaming.archive_parts(cat)
+    assert base == "base_000001" and live == []
+    assert not cat.stage_committed("b000000_curated")  # GC'd
+
+    # replay of a batch id absorbed into the base: exactly-once no-op
+    assert streaming.process_batch(spark, _df(spark, [(1, BASE)]), 0, conf) is None
+
+    # new ingest still dedups against the folded archive
+    fresh2 = (
+        "yet another new piece about the stars and the night sky that the "
+        "children watch from the roof of the house when the lights go out."
+    )
+    streaming.process_batch(spark, _df(spark, [(31, BASE), (32, fresh2)]), 2, conf)
+    docs, _bands = streaming._archive(spark, cat)
+    assert {r.doc_id for r in docs.collect()} == {"1", "21", "32"}
+
+    # second compaction folds previous base + the live batch, covers
+    # stays cumulative
+    s2 = streaming.compact_archive(spark, conf, min_batches=1)
+    assert s2["base"] == "base_000002"
+    assert set(s2["covers"]) == {"b000000", "b000001", "b000002"}
+    docs2, _ = streaming._archive(spark, ParquetCatalog(conf.work_dir))
+    assert {r.doc_id for r in docs2.collect()} == {"1", "21", "32"}
