@@ -233,3 +233,42 @@ def test_pipeline_deterministic_across_parallelism(spark, docs, alias_dict, tmp_
         t = pipeline.run(spark, docs.repartition(parts), alias_dict, conf)
         outs.append(sorted(map(tuple, t.collect())))
     assert outs[0] == outs[1]
+
+
+def test_pair_cosine_kernel_equals_jvm_hof(spark):
+    """The Arrow-batched cosine kernel (similarity._pair_cosine, the
+    round-4 hot-path replacement) must agree with the JVM
+    zip_with/aggregate formula it replaced, to the 6-decimal rounding
+    both the operators and the DuckDB oracles use — on random vectors
+    including negatives, zeros-heavy, and tiny-magnitude cases."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from canonicity_spark import similarity
+
+    rng = _random.Random(7)
+    rows = []
+    for i in range(200):
+        dim = 64
+        a = [rng.uniform(-2, 2) for _ in range(dim)]
+        b = [rng.uniform(-2, 2) for _ in range(dim)]
+        if i % 7 == 0:  # zeros-heavy
+            a = [x if j % 5 == 0 else 0.0 for j, x in enumerate(a)]
+        if i % 11 == 0:  # tiny magnitude
+            b = [x * 1e-6 for x in b]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "id int, va array<float>, vb array<float>"
+    )
+    hof = similarity._dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(similarity._dot(F.col("va"), F.col("va")))
+        * F.sqrt(similarity._dot(F.col("vb"), F.col("vb")))
+    )
+    out = df.select(
+        "id",
+        F.round(hof, 6).alias("jvm"),
+        F.round(similarity._pair_cosine("va", "vb"), 6).alias("kernel"),
+    ).collect()
+    for r in out:
+        assert abs(r.jvm - r.kernel) <= 1e-6, (r.id, r.jvm, r.kernel)
