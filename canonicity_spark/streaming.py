@@ -95,6 +95,50 @@ def stream_documents(spark: SparkSession, path: str, fmt: str = "jsonl") -> Data
     raise ValueError(f"unsupported streaming source format: {fmt!r}")
 
 
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str, fmt: str = "jsonl") -> DataFrame:
+    """Streaming source for the events table shape (TESTDATA.md) —
+    pinned schema, same no-inference rule as every other source."""
+    if fmt == "jsonl":
+        return spark.readStream.schema(EVENTS_SCHEMA).json(path)
+    if fmt == "parquet":
+        return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    raise ValueError(f"unsupported streaming source format: {fmt!r}")
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "20 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — the
+    §2.J stateful-streaming shape (late data inside the watermark still
+    updates its window; data older than the watermark is dropped and
+    its state can be reclaimed, which is what bounds state size at
+    100-TB event volumes). Pure built-in operators: window() + groupBy
+    + agg, all JVM-side; works identically on a batch frame (no
+    watermark) for oracle-style checks."""
+    wm = events.withWatermark("ts", watermark_delay)
+    return (
+        wm.groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def committed_batches(cat: StageCatalog) -> list[str]:
     """Batch prefixes (``b000001``...) whose curated marker committed."""
     out = []

@@ -164,3 +164,65 @@ def test_compaction_preserves_dedup_and_discovery(spark, tmp_path):
     assert set(s2["covers"]) == {"b000000", "b000001", "b000002"}
     docs2, _ = streaming._archive(spark, ParquetCatalog(conf.work_dir))
     assert {r.doc_id for r in docs2.collect()} == {"1", "21", "32"}
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """§2.J stateful shape: tumbling event-time windows under a
+    watermark. Late data inside the watermark updates its window on the
+    next sweep; data older than the carried-over watermark is dropped."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "eckpt")
+
+    def _write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "user_id": 1,
+                        "event_type": "click",
+                        "ts": ts,
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                for i, ts in rows
+            )
+        )
+
+    def _sweep(qname):
+        # foreachBatch sink: supports checkpoint recovery across sweeps
+        # (the memory sink does not); update mode surfaces in-watermark
+        # late corrections as re-emitted rows
+        rows: list = []
+        q = (
+            streaming.windowed_event_counts(
+                streaming.stream_events(spark, str(src))
+            )
+            .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(str(r.window_start), r.event_type): r.n_events for r in rows}
+
+    # sweep 1: two events in the 10:00 window, one in 10:10
+    _write("e0.jsonl", [(1, "2024-01-01T10:00:30"), (2, "2024-01-01T10:05:00"),
+                        (3, "2024-01-01T10:12:00")])
+    got1 = _sweep("ev1")
+    assert got1[("2024-01-01 10:00:00", "click")] == 2
+    assert got1[("2024-01-01 10:10:00", "click")] == 1
+
+    # sweep 2: a late event at 10:03 is INSIDE the carried watermark
+    # (max ts 10:12 - 20 min = 09:52) and updates the 10:00 window; an
+    # event at 09:30 is OLDER than the watermark and is dropped; a new
+    # event at 11:00 opens its own window
+    _write("e1.jsonl", [(4, "2024-01-01T10:03:00"), (5, "2024-01-01T09:30:00"),
+                        (6, "2024-01-01T11:00:00")])
+    got2 = _sweep("ev2")
+    assert got2[("2024-01-01 10:00:00", "click")] == 3  # late update landed
+    assert got2[("2024-01-01 11:00:00", "click")] == 1
+    assert ("2024-01-01 09:30:00", "click") not in got2  # too-late: dropped
