@@ -80,7 +80,11 @@ def prewarm(corpus: str) -> None:
 def run_level(corpus: str, cores: int, shuffle: int, retries: int = 2) -> dict:
     wd = tempfile.mkdtemp(prefix=f"scaling_{cores}_", dir=TMPFS)
     local_dir = tempfile.mkdtemp(prefix=f"spark_local_{cores}_", dir=TMPFS)
-    env = dict(os.environ, SPARK_GRAFT_LOCAL_DIR=local_dir)
+    # 60s idle reaper for the known-small-batch scaling workload (the
+    # session default is a safer 120s for arbitrary user corpora)
+    env = dict(
+        os.environ, SPARK_GRAFT_LOCAL_DIR=local_dir, SPARK_GRAFT_IDLE_TIMEOUT="60"
+    )
     try:
         prewarm(corpus)
         try:

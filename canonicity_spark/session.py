@@ -38,16 +38,20 @@ DEFAULT_CONF: dict[str, str] = {
     # Stall reaper #1 — purpose-built for the wedge observed here
     # (~2/3 of long local[2] runs): JVM parked in readMessageBody on a
     # half-received Arrow message, worker parked in recv, both forever.
-    # After 60s without transfer activity Spark declares the worker
-    # unresponsive and kills it; the task fails and retries on a fresh
-    # worker (local[K,4] allows 4 attempts), costing ~1 min instead of
-    # wedging a multi-hour run. 60s (was 120 in round 3) halves the
-    # stall penalty — round 3's worst 4N scaling wall carried exactly
-    # one ~2 min reap+retry — and stays an order of magnitude above any
-    # legitimate transfer gap in this workload: every Python kernel
-    # here processes a <=10k-row Arrow batch in ~2s, so 60 quiet
-    # seconds means a genuinely wedged socket, not slow work.
-    "spark.python.worker.idleTimeoutSeconds": "60",
+    # After the idle timeout without transfer activity Spark declares
+    # the worker unresponsive and kills it; the task fails and retries
+    # on a fresh worker (local[K,4] allows 4 attempts), costing minutes
+    # instead of wedging a multi-hour run. Default 120s: every Python
+    # kernel here processes a <=10k-row Arrow batch in ~2s, so even 60
+    # quiet seconds means a wedged socket — but a user corpus with a
+    # pathologically large document (or a heavily loaded host) could
+    # legitimately compute longer, and a too-tight reaper kills all 4
+    # attempts deterministically (ADVICE round 4). The bench/scaling
+    # harnesses, whose workload is known-small-batch, override to 60s
+    # via SPARK_GRAFT_IDLE_TIMEOUT to halve the stall penalty there.
+    "spark.python.worker.idleTimeoutSeconds": os.environ.get(
+        "SPARK_GRAFT_IDLE_TIMEOUT", "120"
+    ),
     "spark.python.worker.killOnIdleTimeout": "true",
     # A Python worker that dies mid-task dumps its stack instead of
     # leaving the JVM blocked on a half-read Arrow message with no
