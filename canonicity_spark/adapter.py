@@ -94,10 +94,20 @@ def quarantine_malformed(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     an ingest-scale frame to count its bad rows would be absurd."""
     if "_corrupt_record" not in docs.columns:
         return docs, docs.limit(0)
-    is_bad = F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull()
+    is_bad = malformed_predicate(docs)
     bad = docs.filter(is_bad)
     clean = docs.filter(~is_bad).drop("_corrupt_record")
     return clean, bad
+
+
+def malformed_predicate(docs: DataFrame) -> F.Column:
+    """The quarantine predicate as a reusable Column (False-literal when
+    the frame has no corrupt-record column), so callers can fold the
+    quarantined count into an existing aggregate instead of paying a
+    second count() job (streaming.process_batch)."""
+    if "_corrupt_record" not in docs.columns:
+        return F.lit(False)
+    return F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull()
 
 
 def flat_to_interleaved(flat_docs: DataFrame) -> DataFrame:

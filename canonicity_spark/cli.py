@@ -31,7 +31,11 @@ def main(argv: list[str] | None = None) -> None:
         help="kg = full KG pipeline (default); curate = corpus-curation "
         "pipeline (gates -> dedup -> near-dup clusters, curate.py); "
         "ingest = Structured-Streaming sweep over a document directory "
-        "with incremental dedup against the archive (streaming.py)",
+        "with incremental dedup against the archive (streaming.py). "
+        "INGEST CONTRACT: doc_ids must be unique across the whole "
+        "stream — re-feeding a shard whose ids are already archived "
+        "corrupts dedup stats (duplicate id rows fan the verify joins "
+        "out); mint fresh ids (content-hash or shard-prefixed) per shard",
     )
     p.add_argument("--input", required=True, help="interleaved documents parquet")
     p.add_argument("--alias-dict", default=None, help="alias dictionary parquet (kg mode)")
@@ -77,8 +81,10 @@ def main(argv: list[str] | None = None) -> None:
                    "for exactly-once file processing)")
     p.add_argument("--compact-after", type=int, default=None,
                    help="ingest mode: fold the archive's batch stages "
-                   "into one base when at least this many live batches "
-                   "exist (small-files maintenance)")
+                   "into a base when at least this many live batches "
+                   "exist (tiered small-files maintenance: minor folds "
+                   "touch only the live batches; a major fold absorbs "
+                   "the bases once they stop dwarfing the live rows)")
     args = p.parse_args(argv)
     if args.mode == "kg" and not args.alias_dict:
         p.error("--alias-dict is required in kg mode")
@@ -119,14 +125,14 @@ def main(argv: list[str] | None = None) -> None:
             compacted = streaming.compact_archive(
                 spark, conf, min_batches=args.compact_after
             )
-        base, live = streaming.archive_parts(ParquetCatalog(args.work_dir))
+        bases, live = streaming.archive_parts(ParquetCatalog(args.work_dir))
         print(
             json.dumps(
                 {
                     "mode": "ingest",
                     "wall_sec": round(time.perf_counter() - t0, 3),
                     "batches": conf.batch_stats,
-                    "archive_base": base,
+                    "archive_bases": bases,
                     "archive_live_batches": live,
                     "compacted": compacted,
                     "master": args.master or "submit-provided",

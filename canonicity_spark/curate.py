@@ -5,7 +5,10 @@ pipeline.
 
     docs ──score──▶ scored (lang-ID + quality + token stats, ONE pass)
     scored ──gate──▶ kept (language + quality thresholds)
-    kept ──exact──▶ exact_kept (fingerprint groupBy, min doc_id wins)
+    kept ──exact──▶ exact_kept (fingerprint groupBy, min doc_id wins —
+        ids compared AS STRINGS (docs_narrow casts), the same
+        deterministic lexicographic tie-break the streaming curator
+        uses; zero-pad numeric ids upstream if numeric-min matters)
     exact_kept ──near──▶ near_pairs (MinHash-LSH + exact-jaccard verify)
     near_pairs ──cluster──▶ curated (connected components over the
         near-dup graph — the SAME CC operator the KG pipeline uses for

@@ -561,10 +561,23 @@ def build_ivf_index(
     """
     cache.unpin_all(owner="ivf_index")  # release the previous index's pin
     if catalog is not None and catalog.stage_committed(stage_name):
-        cents = (catalog.read_manifest(stage_name).get("meta") or {}).get(
-            "centroids"
-        )
+        meta = catalog.read_manifest(stage_name).get("meta") or {}
+        cents = meta.get("centroids")
         if cents is not None:
+            # the catalog fingerprint guards the INPUT identity, but the
+            # build parameters must match too — a second build with a
+            # different n_centroids against the same stage must fail
+            # loudly, not silently hand back the stale index (ADVICE
+            # round 4). Compare against the REQUESTED count recorded at
+            # build time (len(cents) can be legitimately smaller when
+            # the corpus sample had fewer rows than cells).
+            built_req = meta.get("n_centroids", len(cents))
+            if built_req != n_centroids:
+                raise RuntimeError(
+                    f"IVF stage {stage_name!r} was built with "
+                    f"n_centroids={built_req}, requested {n_centroids} — "
+                    "use a different stage_name or drop the stage to rebuild"
+                )
             # committed by a previous build: JSON floats round-trip
             # exactly, so the rehydrated matrix is bit-identical
             assigned = catalog.read_stage(embeddings.sparkSession, stage_name)
@@ -576,7 +589,7 @@ def build_ivf_index(
         assigned = catalog.write_stage(
             assigned.repartition(min(n_centroids, 32), "cell"),
             stage_name,
-            meta={"centroids": cent_mat.tolist()},
+            meta={"centroids": cent_mat.tolist(), "n_centroids": n_centroids},
         )
     else:
         assigned = cache.pin(assigned, owner="ivf_index")
@@ -655,11 +668,17 @@ def ivf_topk(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.8
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dups above a jaccard threshold: LSH candidates filtered by
-    exact n-gram jaccard (verification step of the dedup pipeline)."""
-    return minhash_near_dup_pairs(docs, text_col).filter(
+    exact n-gram jaccard (verification step of the dedup pipeline).
+    ``max_bucket`` reaches the hot-bucket guard (ADVICE round 4: a
+    caller-tuned cap must apply on this path too, or the first
+    streaming batch gets a different recall cutoff than later ones)."""
+    return minhash_near_dup_pairs(docs, text_col, max_bucket=max_bucket).filter(
         F.col("jaccard") >= threshold
     )
 

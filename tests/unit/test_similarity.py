@@ -188,6 +188,17 @@ def test_ivf_index_resumes_from_manifest(spark, clustered_embeddings, tmp_path, 
     b = similarity.ivf_query(resumed, q, k=5, n_probe=2, exclude_self=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 5
 
+    # resume with DIFFERENT build parameters must fail loudly, never
+    # silently hand back the stale index (ADVICE round 4)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="n_centroids"):
+        similarity.build_ivf_index(
+            clustered_embeddings,
+            n_centroids=16,
+            catalog=ParquetCatalog(str(tmp_path / "ivf")),
+        )
+
 
 def test_simhash_near_dup_hamming(spark):
     docs = spark.createDataFrame(

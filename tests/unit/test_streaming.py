@@ -139,10 +139,10 @@ def test_compaction_preserves_dedup_and_discovery(spark, tmp_path):
     streaming.process_batch(spark, _df(spark, [(21, other)]), 1, conf)
 
     summary = streaming.compact_archive(spark, conf)
-    assert summary["folded_batches"] == 2
+    assert summary["folded_batches"] == 2 and summary["mode"] == "major"
     cat = ParquetCatalog(conf.work_dir)
-    base, live = streaming.archive_parts(cat)
-    assert base == "base_000001" and live == []
+    bases, live = streaming.archive_parts(cat)
+    assert bases == ["base_000001"] and live == []
     assert not cat.stage_committed("b000000_curated")  # GC'd
 
     # replay of a batch id absorbed into the base: exactly-once no-op
@@ -157,13 +157,95 @@ def test_compaction_preserves_dedup_and_discovery(spark, tmp_path):
     docs, _bands = streaming._archive(spark, cat)
     assert {r.doc_id for r in docs.collect()} == {"1", "21", "32"}
 
-    # second compaction folds previous base + the live batch, covers
-    # stays cumulative
+    # second compaction: the live batch is NOT dwarfed by the base
+    # (1 row vs 2), so it is a MAJOR fold — previous base absorbed,
+    # covers stays cumulative
     s2 = streaming.compact_archive(spark, conf, min_batches=1)
-    assert s2["base"] == "base_000002"
+    assert s2["base"] == "base_000002" and s2["mode"] == "major"
+    assert s2["folded_bases"] == 1
     assert set(s2["covers"]) == {"b000000", "b000001", "b000002"}
     docs2, _ = streaming._archive(spark, ParquetCatalog(conf.work_dir))
     assert {r.doc_id for r in docs2.collect()} == {"1", "21", "32"}
+
+
+def test_minor_compaction_leaves_old_base_untouched(spark, tmp_path):
+    """Tiered compaction (VERDICT round 4 #4): when the active base
+    dwarfs the live batches, only the live batches fold into a new base
+    — the old base's files are byte-untouched, both bases stay active,
+    and dedup against the two-base archive is unchanged."""
+    conf = _conf(tmp_path)
+    texts = [
+        "a long letter about the roads and the bridges that the council "
+        "plans to repair before the winter storms arrive this year.",
+        "notes from the garden on how the tomatoes and the beans grew "
+        "through the warm months and what to plant again next spring.",
+        "a short story of the lighthouse keeper who counted the ships "
+        "each night and wrote their names in a worn leather book.",
+        "minutes of the village meeting where the school the well and "
+        "the mill were discussed until late in the evening by all.",
+    ]
+    streaming.process_batch(spark, _df(spark, list(enumerate(texts))), 0, conf)
+    streaming.compact_archive(spark, conf, min_batches=1)  # base1: 4 docs
+    cat = ParquetCatalog(conf.work_dir)
+    base_dir = cat._dir("base_000001_curated")
+    before = {
+        f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+        for f in os.listdir(base_dir)
+    }
+
+    extra = (
+        "a small new arrival about the ships in the harbour and the men "
+        "who sail them across the cold grey water before the dawn comes."
+    )
+    streaming.process_batch(spark, _df(spark, [(10, extra)]), 1, conf)
+    s = streaming.compact_archive(spark, conf, min_batches=1, major_ratio=2.0)
+    assert s["mode"] == "minor" and s["folded_bases"] == 0
+    bases, live = streaming.archive_parts(cat)
+    assert bases == ["base_000001", "base_000002"] and live == []
+    # the old base was not rewritten
+    after = {
+        f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+        for f in os.listdir(base_dir)
+    }
+    assert after == before
+    # dedup still sees both bases: exact dup of a base-1 doc and of the
+    # base-2 doc are both dropped
+    s2 = streaming.process_batch(
+        spark, _df(spark, [(21, texts[0]), (22, extra)]), 2, conf
+    )
+    assert s2["curated"] == 0
+    # a later major fold absorbs both bases into one (5 base rows vs 1
+    # live row is inside the default ratio-10 major window)
+    streaming.process_batch(spark, _df(spark, [(31, BASE)]), 3, conf)
+    s3 = streaming.compact_archive(spark, conf, min_batches=1, major_ratio=10.0)
+    assert s3["mode"] == "major" and s3["folded_bases"] == 2
+    bases3, _ = streaming.archive_parts(ParquetCatalog(conf.work_dir))
+    assert bases3 == ["base_000003"]
+    docs3, _ = streaming._archive(spark, ParquetCatalog(conf.work_dir))
+    assert {r.doc_id for r in docs3.collect()} == {"0", "1", "2", "3", "10", "31"}
+
+
+def test_archive_fingerprints_stored_not_recomputed(spark, tmp_path):
+    """VERDICT round 4 #1/#2 regression guard: the curated stage stores
+    the exact-dedup fingerprint, and the archive probe plan reads the
+    stored column — no md5 recomputation over archive text per batch."""
+    conf = _conf(tmp_path)
+    streaming.process_batch(spark, _df(spark, [(1, BASE)]), 0, conf)
+    cat = ParquetCatalog(conf.work_dir)
+    docs, _bands = streaming._archive(spark, cat)
+    assert "_fp" in cat.read_stage(spark, "b000000_curated").columns
+    plan = (
+        streaming._archive_fingerprints(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "md5" not in plan
+    # compaction carries the stored column forward
+    streaming.process_batch(spark, _df(spark, [(2, "fresh words about the rain and the river that runs past the mill all year long.")]), 1, conf)
+    streaming.compact_archive(spark, conf)
+    docs2, _ = streaming._archive(spark, ParquetCatalog(conf.work_dir))
+    assert "_fp" in docs2.columns
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
