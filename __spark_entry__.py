@@ -380,12 +380,22 @@ def q_f4_json(spark, sf):
     )
 
 
-def q_f5_datetime(spark, sf):
-    e = _t(spark, sf, "events")
-    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-    return e.groupBy(day.alias("day")).agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+def q_f5_event_windows(spark, sf):
+    """Event-time tumbling-window aggregation through the §2.J streaming
+    operator (streaming.windowed_event_counts) run on a batch frame —
+    withWatermark is a no-op in batch, so this value-checks the exact
+    window()+groupBy shape the streaming surface uses (VERDICT round 4
+    #7: fold a windowed-event oracle into the registry). Subsumes the
+    old f5_datetime's date_trunc coverage: window() IS the bucketing
+    datetime function, and the start is still date_format-projected."""
+    from canonicity_spark import streaming
+
+    out = streaming.windowed_event_counts(_t(spark, sf, "events"), "10 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 
@@ -542,22 +552,34 @@ def q_g6_salted_min(spark, sf):
 
 def q_mm_media_features(spark, sf):
     """Multimodal plumbing: media spans -> binary payloads -> mapInPandas
-    decode/feature stub (rows-only; payload bytes use xxhash64 which has
-    no DuckDB twin). The operator emits ``feature array<float>``
-    (media.FEATURE_SCHEMA, unchanged); the QUERY projects that array to
-    a rounded checksum because the driver harness canonicalizes columns
-    with pandas factorize, which cannot hash list values — round 3's
-    array projection crashed the harness (VERDICT round 3 #1)."""
+    decode/feature stub. Value-oracled since round 5 (VERDICT round 4
+    #3): the synthetic payload is md5(media_ref) bytes repeated and the
+    decode stub seeds dims from the first 4 payload bytes, so DuckDB
+    can replicate the whole fetch→decode→feature chain from md5 hex.
+
+    The operator emits ``feature array<float>`` (media.FEATURE_SCHEMA,
+    unchanged); the QUERY projects that array to a rounded POSITION-
+    WEIGHTED checksum — sum((i+1) * feature[i]) — because the driver
+    harness canonicalizes columns with pandas factorize, which cannot
+    hash list values (round 3's array projection crashed the harness).
+    Position-weighted, not a plain sum: the byte-histogram feature is
+    normalized, so a plain sum is identically 1.0 and checks nothing;
+    the weighted sum is discriminating AND float-exact on both sides
+    (every term is a dyadic rational k*(i+1)/256)."""
     from canonicity_spark import media
 
     docs = adapter.flat_to_interleaved(_t(spark, sf, "documents"))
     payloads = media.fetch_payloads(extract.explode_spans(docs))
     feats = media.decode_features(payloads)
+    weighted = F.zip_with(
+        "feature",
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda f, i: f.cast("double") * i,
+    )
     return feats.select(
         "doc_id", "media_ref", "kind", "n_bytes", "width", "height", "n_frames",
         F.round(
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")),
-            6,
+            F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feature_checksum"),
     )
 
@@ -672,7 +694,7 @@ def queries() -> dict[str, Q]:
         "f3_array_hof": q_f3_array_hof,
         "f3_shingles": q_f3_shingles,
         "f4_json": q_f4_json,
-        "f5_datetime": q_f5_datetime,
+        "f5_event_windows": q_f5_event_windows,
         "f6_math": q_f6_math,
         "f7_conditional": q_f7_conditional,
         # training-data ops
@@ -881,11 +903,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
-        "f5_datetime": """
-            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        # time_bucket and Spark's window() agree on 10-minute boundaries:
+        # both origins (epoch / 2000-01-01) are multiples of 600s
+        "f5_event_windows": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
                    count(*) AS n_events,
                    round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
-            FROM events GROUP BY 1
+            FROM events GROUP BY 1, 2
         """,
         "f6_math": """
             SELECT l_orderkey, l_linenumber,
@@ -1164,8 +1190,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(ea.v, eb.v) /
                         (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
         """,
-        # mm_media_features intentionally omitted: payload bytes derive
-        # from xxhash64 (no DuckDB twin); the driver records the weaker
-        # rows-only check (now meaningful — one row per media span) and
-        # tests/unit pin batch shape + determinism.
+        # Multimodal fetch→decode→feature chain, replicated from md5 hex
+        # (VERDICT round 4 #3 — the last rows-only registry row): the
+        # synthetic payload is the 16 md5(media_ref) bytes repeated 16x,
+        # so the byte histogram over 256 bytes equals the histogram over
+        # the 16 hex byte-pairs, and the decode stub's dimension seed is
+        # the first 4 payload bytes = the first 8 hex chars. Every
+        # checksum term is a dyadic rational (k*(i+1)/256), so float
+        # equality is exact on both sides before the round.
+        "mm_media_features": """
+            WITH m AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       'media://' || doc_id AS media_ref,
+                       md5('media://' || doc_id) AS hx
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, media_ref,
+                       ('0x' || substring(hx, 1, 8))::BIGINT AS h4,
+                       list_transform(range(0, 16),
+                           i -> ('0x' || substring(hx, 2*i + 1, 2))::INT % 8) AS bins
+                FROM m
+            )
+            SELECT doc_id, media_ref, 'image' AS kind, 256 AS n_bytes,
+                   CAST(64 + h4 % 1024 AS INT) AS width,
+                   CAST(64 + (h4 // 1024) % 1024 AS INT) AS height,
+                   1 AS n_frames,
+                   round(list_sum(list_transform(range(0, 8),
+                         v -> (v + 1) * len(list_filter(bins, x -> x = v)) / 16.0)), 6)
+                       AS feature_checksum
+            FROM b
+        """,
     }

@@ -19,7 +19,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,16 +37,15 @@ FEATURE_SCHEMA = (
 
 
 def synthetic_fetcher(media: DataFrame) -> DataFrame:
-    """Default fetcher STUB: deterministic synthetic bytes (a repeat of
-    xxhash64(media_ref) bytes), a pure function of media_ref so tests
-    are reproducible. A real deployment's fetcher resolves media_ref
-    against an object store (s3/hdfs open) instead."""
-    seed = F.xxhash64("media_ref")
+    """Default fetcher STUB: deterministic synthetic bytes — the 16
+    md5(media_ref) bytes repeated 16x (256 bytes), a pure function of
+    media_ref so tests are reproducible. md5 rather than xxhash64
+    (VERDICT round 4 #3): md5 is portable to the DuckDB oracle, so the
+    whole fetch→decode→feature chain is SQL-replicable at value level
+    (the dd_simhash serialization trick). A real deployment's fetcher
+    resolves media_ref against an object store (s3/hdfs open) instead."""
     return media.withColumn(
-        "payload",
-        F.substring(
-            F.repeat(F.unhex(F.lpad(F.hex(F.abs(seed)), 16, "0")), 32), 1, 256
-        ).cast("binary"),
+        "payload", F.unhex(F.repeat(F.md5("media_ref"), 16))
     )
 
 
@@ -73,10 +71,18 @@ def _decode_stub(kind: str, payload: bytes) -> dict:
     Deterministic fake decode: dimensions and frame counts derived from
     the payload bytes; replace with a real decoder on a cluster —
     NotImplementedError paths mark what a real codec must fill in.
+
+    The dimension seed is the first 4 payload bytes as a big-endian
+    integer — still a pure function of the payload (a real codec reads
+    headers the same way), and under ``synthetic_fetcher`` it equals
+    the first 8 hex chars of md5(media_ref), so the SQL oracle can
+    replicate it (crc32, the round-4 choice, has no DuckDB twin).
     """
     if payload is None:
         raise NotImplementedError("payload fetch failed — real fetcher required")
-    h = zlib.crc32(payload)
+    if len(payload) < 4:
+        raise NotImplementedError("payload too short to carry a header")
+    h = int.from_bytes(payload[:4], "big")
     if kind == "image":
         return {"width": 64 + h % 1024, "height": 64 + (h >> 10) % 1024, "n_frames": 1}
     if kind == "video":
