@@ -182,6 +182,23 @@ def main() -> None:
     eff = (lo["wall_sec"] / hi["wall_sec"]) / 4.0
     speedup = lo["wall_sec"] / hi["wall_sec"]
 
+    # knee-exposed companion pair (VERDICT round 4: BOTH configurations
+    # must keep being reported every round so the level-pair choice
+    # cannot drift toward whatever flatters the engine). Skip with
+    # SPARK_GRAFT_SCALE_KNEE=0 or when the graded pair already is 2v8.
+    knee = None
+    if os.environ.get("SPARK_GRAFT_SCALE_KNEE", "1") != "0" and n_cores != 2:
+        sys.stderr.write("knee-exposed pair: local[2] vs local[8]...\n")
+        klo, khi, klo_walls, khi_walls = measure(corpus, 2)
+        knee = {
+            "efficiency": round((klo["wall_sec"] / khi["wall_sec"]) / 4.0, 3),
+            "speedup": round(klo["wall_sec"] / khi["wall_sec"], 2),
+            "lo": klo,
+            "hi": khi,
+            "lo_walls": klo_walls,
+            "hi_walls": khi_walls,
+        }
+
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Sandbox substitution for N vs 4N executors (BASELINE.json:14): the
@@ -221,13 +238,30 @@ Notes — what is measured and what is excluded
   ~8-12% by ~16, and collapses ~3x near 32 — single-socket DRAM
   saturation, which a real 4N-executor cluster (4x the memory
   controllers) does not hit. {n_cores}v{4 * n_cores} keeps both levels
-  in the flat regime. For transparency, round 4 measured the
-  knee-exposed 2v8 configuration too, on identical code: 0.809
-  (median-of-3) at 6M docs and 0.783 at 12M (bigger shuffles push the
-  16-thread level deeper into the knee) — the delta between those and
-  this table is the host's memory wall, not engine behavior, which is
-  exactly why the level pair must keep both sides in the linear
-  regime.
+  in the flat regime.
+"""
+    if knee is not None:
+        md += f"""
+## Knee-exposed companion measurement (same code, same corpus)
+
+For transparency the 2v8 configuration — whose 4N level (local[8] ≈ 16
+memory-active threads) sits exactly on this host's measured DRAM
+saturation knee — is re-measured every round alongside the graded
+pair, so the level-pair choice cannot drift:
+
+| Run | Parallelism | Wall (s), median | docs/sec | Speedup | Efficiency |
+|---|---|---|---|---|---|
+| 1 | local[2] (N) | {knee['lo']['wall_sec']} | {knee['lo']['docs_per_sec']} | 1.0 | 1.0 (baseline) |
+| 2 | local[8] (4N) | {knee['hi']['wall_sec']} | {knee['hi']['docs_per_sec']} | {knee['speedup']:.2f}x | {knee['efficiency']:.3f} |
+
+All walls — N: {knee['lo_walls']} / 4N: {knee['hi_walls']} (s).
+
+The delta between this table and the graded one is the host's memory
+wall, not engine behavior (round 4 quantified it: 2v8 got WORSE with a
+bigger corpus — 0.809 @ 6M → 0.783 @ 12M on identical code — the
+signature of DRAM saturation, while 1v4 stayed in the linear regime),
+which is exactly why the graded pair keeps both sides in the flat
+≤8-active-thread regime.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
@@ -238,6 +272,7 @@ Notes — what is measured and what is excluded
         "4n_walls": hi_walls,
         "n": lo,
         "4n": hi,
+        "knee_2v8": knee,
     }))
     print(f"wrote {out_path}")
 
