@@ -69,16 +69,29 @@ def _ensure_corpus() -> str:
     return BENCH_CORPUS
 
 
+def _runtime_paths() -> list[str]:
+    """The Spark runtime's own file tree (jars + pyspark site-packages).
+    VERDICT round 5 #4: drop_caches also evicts the JVM's mapped jars
+    and the Python workers' module tree, so whichever query ran FIRST
+    after a drop paid ~20s of major faults (rep-0 kg_pipeline_synth:
+    37.8s vs 13.5s warm). The runtime is not part of the workload being
+    measured — prewarm it alongside the inputs."""
+    import pyspark
+
+    return [os.path.dirname(os.path.abspath(pyspark.__file__))]
+
+
 def _drop_caches_and_prewarm(paths: list[str]) -> None:
     """Same discipline as BENCH/scaling.prewarm: identical page-cache
-    state for every repetition — inputs hot, everything else cold."""
+    state for every repetition — inputs + runtime hot, everything else
+    cold."""
     try:
         os.sync()
         with open("/proc/sys/vm/drop_caches", "w") as f:
             f.write("3\n")
     except (OSError, PermissionError):
         pass  # not root / not Linux — prewarm alone still helps
-    for p in paths:
+    for p in paths + _runtime_paths():
         for root, _dirs, files in os.walk(p):
             for fname in files:
                 with open(os.path.join(root, fname), "rb") as fh:
@@ -136,11 +149,22 @@ def main() -> None:
     shutil.rmtree(warm_wd, ignore_errors=True)
 
     # -- the query list -------------------------------------------------
+    # per-stage walls of the pipeline-shaped queries, one list per stage
+    # across reps (VERDICT round 5 #6: regressions should localize to a
+    # stage from the bench JSON alone, without a profiler)
+    stage_walls: dict[str, dict[str, list[float]]] = {}
+
+    def _record_stages(qname: str, wall: dict[str, float]) -> None:
+        per_q = stage_walls.setdefault(qname, {})
+        for stage, sec in wall.items():
+            per_q.setdefault(stage, []).append(sec)
+
     def run_pipeline():
         wd = tempfile.mkdtemp(prefix="bench_pipeline_")
         try:
             conf = pipeline.PipelineConf(work_dir=wd, resume=False)
             pipeline.run(spark, docs, alias, conf).count()
+            _record_stages("kg_pipeline_synth", conf.stage_wall)
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 
@@ -149,6 +173,7 @@ def main() -> None:
         try:
             conf = curate.CurationConf(work_dir=wd, resume=False)
             curate.run(spark, cdocs, conf).count()
+            _record_stages("curate_100k", conf.stage_wall)
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 
@@ -207,6 +232,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "raw_walls": raw,
+                "stage_walls": stage_walls,
                 "reps": REPS,
                 "sf": sf,
                 "pipeline_docs": N_BENCH_DOCS,

