@@ -26,11 +26,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 ENT_PREFIX = "ent:"
 
 
 SURF_PREFIX = "surf:"
+
+#: Edge-count bound under which connected_components finishes on the
+#: driver (see its docstring). 2^20 edges collect as ~32 MB of Arrow —
+#: bounded, never data-scale: the vocabulary contraction upstream
+#: (build_edges runs on distinct surfaces, not mentions) already did
+#: the distributed size reduction, exactly the "contract big, finish
+#: the small remainder centrally" CC shape from the MapReduce-CC
+#: literature. Above the bound the iterative distributed kernel runs.
+DRIVER_CC_MAX_EDGES = 1 << 20
 
 
 def build_edges(surface_links: DataFrame) -> DataFrame:
@@ -77,19 +87,78 @@ def _salted_min(df: DataFrame, key: str, value: str, n_salts: int) -> DataFrame:
     return partial.groupBy(key).agg(F.min(value).alias(value))
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph finish: collect (src, dst) and union-find with
+    min-root merge — the root of every set is its minimum node id, so
+    the result is bit-identical to converged min-label propagation
+    (UTF-8 byte order, which Spark's string min uses, equals code-point
+    order, which Python's ``<`` uses). Output sorted for cross-run
+    determinism of the materialized layout, and returned as an
+    Arrow-built LocalRelation (createDataFrame from pandas), which —
+    unlike a parallelized list, whose default size estimate is
+    Long.Max — carries its real byte size, so downstream joins against
+    the labels (M1's vocabulary-map broadcast, curate/streaming
+    representative joins) keep auto-broadcasting exactly as they do
+    when the labels arrive from a parquet stage read."""
+    import pandas as pd
+
+    pdf = edges.select("src", "dst").toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    node_t = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", node_t, False), StructField("label", node_t, False)]
+    )
+    rows = sorted((n, find(n)) for n in list(parent))
+    out = pd.DataFrame(rows, columns=["node", "label"])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     n_salts: int = 16,
     use_salting: bool = True,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """G3/G5 — labels(node, label), label = min node id in the component.
 
     Generic min-label propagation over an undirected edge list;
     semantically identical with salting on or off (tested as a property
     in tests/props). Returns after the first round with zero changes.
+
+    Two-level execution (round 6): when the edge set is at most
+    ``driver_max_edges`` rows, the components are finished with a
+    driver-side union-find instead of the iterative loop — the same
+    runtime size-based strategy choice a broadcast-join threshold makes,
+    with the same character: the SMALL side is bounded (≤ ~32 MB of
+    Arrow at the default), output is identical (pinned by unit +
+    property tests against the distributed path), and the distributed
+    kernel remains the path for graphs above the bound. Why it matters:
+    each propagation round is a driver-blocking join + aggregate +
+    convergence count, so a vocabulary-scale graph (the pipeline's case
+    — build_edges contracts mentions to distinct surfaces first) paid
+    ~6-10 scheduling round-trips of pure latency; that latency is the
+    pipeline's largest parallelism-independent cost, which a cluster
+    cannot scale away. ``max_iter`` stays a distributed-loop safeguard
+    (G4): the driver path always returns converged labels, and no
+    caller uses the cap to request partial propagation.
     """
     spark = edges.sparkSession
+    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
+        return _driver_union_find(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

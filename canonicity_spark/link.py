@@ -307,7 +307,36 @@ def score_candidates(cands: DataFrame) -> DataFrame:
 
 def top_links(scored: DataFrame, k: int = 1) -> DataFrame:
     """L7 — best candidate per surface; ties broken on (prior desc,
-    entity_id asc) for cross-run determinism."""
+    entity_id asc) for cross-run determinism.
+
+    k=1 (the pipeline's case) is a single ``min_by`` aggregate over an
+    ordering tuple instead of a rank window: a groupBy gets map-side
+    partial aggregation and never sorts, where the window shuffles AND
+    sorts every candidate within each surface partition — at web scale
+    that sort is pure waste when only the argmin survives. The ordering
+    tuple mirrors the window's (score desc, prior desc, entity asc,
+    alias asc) exactly — numeric keys negated, NULL prior mapped to
+    +inf so it sorts last like ``desc_nulls_last`` — pinned equal to
+    the window path by tests/unit/test_link.py."""
+    if k == 1:
+        order = F.struct(
+            (-F.col("score")).alias("_s"),
+            (-F.coalesce(F.col("prior"), F.lit(float("-inf")))).alias("_p"),
+            F.col("cand_entity_id").alias("_e"),
+            F.col("cand_alias").alias("_a"),
+        )
+        payload = F.struct("cand_entity_id", "score", "gen_source", "freq")
+        best = scored.groupBy("norm_surface").agg(
+            F.min_by(payload, order).alias("_best")
+        )
+        return best.select(
+            "norm_surface",
+            F.col("_best.cand_entity_id").alias("entity_id"),
+            F.col("_best.score").alias("score"),
+            F.lit(1).cast("int").alias("rank"),
+            F.col("_best.gen_source").alias("gen_source"),
+            F.col("_best.freq").alias("freq"),
+        )
     w = Window.partitionBy("norm_surface").orderBy(
         F.desc("score"), F.desc("prior"), F.asc("cand_entity_id"), F.asc("cand_alias")
     )

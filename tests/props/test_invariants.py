@@ -58,7 +58,13 @@ def test_cc_equals_union_find_random_graphs(spark, data):
     e = spark.createDataFrame(
         [(a, b, 1.0, "t") for a, b in pairs], ["src", "dst", "w", "etype"]
     )
-    got = {r.node: r.label for r in canonicalize.connected_components(e).collect()}
+    # driver_max_edges=0 forces the ITERATIVE distributed kernel — the
+    # default would route every drawn graph (<= 60 edges) to the driver
+    # union-find, which is itself equivalent to _cc_py by construction
+    got = {
+        r.node: r.label
+        for r in canonicalize.connected_components(e, driver_max_edges=0).collect()
+    }
     assert got == _cc_py(pairs)
 
 

@@ -35,11 +35,15 @@ def _cc_py(pairs):
 
 
 def test_cc_chain_multiround(spark):
-    # a chain forces multiple propagation rounds
+    # a chain forces multiple propagation rounds — run the DISTRIBUTED
+    # kernel explicitly (driver_max_edges=0), since the default now
+    # routes small graphs to the driver union-find
     pairs = [(f"n{i}", f"n{i+1}") for i in range(9)]
     labels = {
         r.node: r.label
-        for r in canonicalize.connected_components(_edges(spark, pairs)).collect()
+        for r in canonicalize.connected_components(
+            _edges(spark, pairs), driver_max_edges=0
+        ).collect()
     }
     assert set(labels.values()) == {"n0"}
     assert len(labels) == 10
@@ -51,13 +55,31 @@ def test_cc_matches_union_find(spark):
     rng = random.Random(7)
     nodes = [f"v{i:03d}" for i in range(60)]
     pairs = [tuple(rng.sample(nodes, 2)) for _ in range(45)]
-    got = {
-        r.node: r.label
-        for r in canonicalize.connected_components(_edges(spark, pairs)).collect()
-    }
+    e = _edges(spark, pairs)
     want = _cc_py(pairs)
-    # compare the partition structure via canonical min-label
-    assert got == want
+    distributed = {
+        r.node: r.label
+        for r in canonicalize.connected_components(e, driver_max_edges=0).collect()
+    }
+    assert distributed == want
+    # the driver fast path (default routing for a 45-edge graph) must be
+    # bit-identical to the distributed kernel, including exactly at the
+    # edge-count boundary
+    for cap in (len(pairs), 10**6):
+        driver = {
+            r.node: r.label
+            for r in canonicalize.connected_components(
+                e, driver_max_edges=cap
+            ).collect()
+        }
+        assert driver == want
+    below = {
+        r.node: r.label
+        for r in canonicalize.connected_components(
+            e, driver_max_edges=len(pairs) - 1  # one under: distributed again
+        ).collect()
+    }
+    assert below == want
 
 
 def test_salting_invariance(spark):
@@ -65,13 +87,19 @@ def test_salting_invariance(spark):
         (f"leaf{i}", "hub") for i in range(20)
     ]
     e = _edges(spark, pairs)
+    # distributed kernel explicitly — salting is a property of the
+    # iterative path's aggregation, which the driver fast path bypasses
     with_salt = {
         r.node: r.label
-        for r in canonicalize.connected_components(e, use_salting=True).collect()
+        for r in canonicalize.connected_components(
+            e, use_salting=True, driver_max_edges=0
+        ).collect()
     }
     without = {
         r.node: r.label
-        for r in canonicalize.connected_components(e, use_salting=False).collect()
+        for r in canonicalize.connected_components(
+            e, use_salting=False, driver_max_edges=0
+        ).collect()
     }
     assert with_salt == without
 

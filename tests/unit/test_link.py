@@ -99,6 +99,43 @@ def test_top_links_deterministic_tiebreak(spark):
     assert len(best) == 1 and best[0].entity_id == "E1"
 
 
+def test_top_links_agg_path_equals_window_path(spark):
+    """The k=1 min_by aggregate (round 6: no sort, map-side combine)
+    must pick exactly the row the rank-window picks, across every
+    tie-break depth and with NULL priors (desc_nulls_last ≡ the
+    +inf-mapped ordering key)."""
+    rows = [
+        # (surface, freq, alias, entity, prior, source, score)
+        ("a", 3, "a1", "E9", 0.9, "lsh", 0.7),   # lower score loses
+        ("a", 3, "a2", "E2", 0.1, "lsh", 0.8),
+        ("a", 3, "a3", "E3", 0.9, "lsh", 0.8),   # higher prior wins at tied score
+        ("b", 1, "b2", "E5", None, "lsh", 0.6),  # NULL prior sorts last...
+        ("b", 1, "b1", "E6", 0.0, "lsh", 0.6),   # ...so 0.0 beats it
+        ("c", 2, "c9", "E7", None, "lsh", 0.5),  # all-NULL prior group:
+        ("c", 2, "c0", "E8", None, "lsh", 0.5),  # min entity wins
+        ("d", 5, "d2", "E4", 0.5, "alias", 1.0),
+        ("d", 5, "d1", "E4", 0.5, "lsh", 1.0),   # same entity: min alias wins
+    ]
+    cands = spark.createDataFrame(
+        rows,
+        "norm_surface string, freq int, cand_alias string, cand_entity_id string,"
+        " prior double, gen_source string, score double",
+    )
+    agg = {r.norm_surface: r for r in link.top_links(cands, k=1).collect()}
+    # k=2 takes the window path; its rank-1 rows are the window's top-1
+    win = {
+        r.norm_surface: r
+        for r in link.top_links(cands, k=2).filter("rank = 1").collect()
+    }
+    assert set(agg) == set(win) == {"a", "b", "c", "d"}
+    for s in agg:
+        assert agg[s] == win[s], (s, agg[s], win[s])
+    assert agg["a"].entity_id == "E3"
+    assert agg["b"].entity_id == "E6"
+    assert agg["c"].entity_id == "E7"
+    assert agg["d"].gen_source == "lsh"  # d1 < d2
+
+
 def test_full_corpus_links_all_surfaces_correctly(spark, docs, alias_dict, corpus_dir):
     mentions, _ = extract.run(docs)
     links = link.run(mentions, alias_dict)
