@@ -87,22 +87,21 @@ def _salted_min(df: DataFrame, key: str, value: str, n_salts: int) -> DataFrame:
     return partial.groupBy(key).agg(F.min(value).alias(value))
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph finish: collect (src, dst) and union-find with
-    min-root merge — the root of every set is its minimum node id, so
-    the result is bit-identical to converged min-label propagation
-    (UTF-8 byte order, which Spark's string min uses, equals code-point
-    order, which Python's ``<`` uses). Output sorted for cross-run
-    determinism of the materialized layout, and returned as an
-    Arrow-built LocalRelation (createDataFrame from pandas), which —
-    unlike a parallelized list, whose default size estimate is
+def _driver_union_find(spark, pdf, node_t) -> DataFrame:
+    """Small-graph finish: union-find with min-root merge over already-
+    collected (src, dst) rows — the root of every set is its minimum
+    node id, so the result is bit-identical to converged min-label
+    propagation (UTF-8 byte order, which Spark's string min uses,
+    equals code-point order, which Python's ``<`` uses). Output sorted
+    for cross-run determinism of the materialized layout, and returned
+    as an Arrow-built LocalRelation (createDataFrame from pandas),
+    which — unlike a parallelized list, whose default size estimate is
     Long.Max — carries its real byte size, so downstream joins against
     the labels (M1's vocabulary-map broadcast, curate/streaming
     representative joins) keep auto-broadcasting exactly as they do
     when the labels arrive from a parquet stage read."""
     import pandas as pd
 
-    pdf = edges.select("src", "dst").toPandas()
     parent: dict = {}
 
     def find(x):
@@ -117,13 +116,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    node_t = edges.schema["src"].dataType
     schema = StructType(
         [StructField("node", node_t, False), StructField("label", node_t, False)]
     )
     rows = sorted((n, find(n)) for n in list(parent))
     out = pd.DataFrame(rows, columns=["node", "label"])
-    return edges.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -157,8 +155,23 @@ def connected_components(
     caller uses the cap to request partial propagation.
     """
     spark = edges.sparkSession
-    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
-        return _driver_union_find(edges)
+    if driver_max_edges > 0:
+        # One fetch decides the strategy AND feeds the small path: pull
+        # at most bound+1 rows; if the limit wasn't hit, those rows ARE
+        # the edge set and the union-find runs on them directly — the
+        # round-6 shape (count() then toPandas()) executed the whole
+        # edge-producing DAG twice when the frame wasn't pinned (e.g.
+        # streaming/curate candidate joins).  LIMIT is only
+        # order-unstable in WHICH rows it keeps past the cutoff; below
+        # the cutoff it returns the complete set, so determinism is
+        # unaffected on the path that uses the rows.
+        probe = (
+            edges.select("src", "dst").limit(driver_max_edges + 1).toPandas()
+        )
+        if len(probe) <= driver_max_edges:
+            return _driver_union_find(
+                spark, probe, edges.schema["src"].dataType
+            )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -315,12 +315,16 @@ def top_links(scored: DataFrame, k: int = 1) -> DataFrame:
     sorts every candidate within each surface partition — at web scale
     that sort is pure waste when only the argmin survives. The ordering
     tuple mirrors the window's (score desc, prior desc, entity asc,
-    alias asc) exactly — numeric keys negated, NULL prior mapped to
-    +inf so it sorts last like ``desc_nulls_last`` — pinned equal to
-    the window path by tests/unit/test_link.py."""
+    alias asc) exactly — numeric keys negated, NULL prior AND NULL
+    score mapped to +inf so they sort last like ``desc_nulls_last``
+    (a NULL score is reachable when surface and alias are both empty:
+    levenshtein/maxlen = 0/0; unguarded, struct ordering would sort
+    the NULL field FIRST and the agg path would diverge from the
+    window path — ADVICE round 6) — pinned equal to the window path
+    by tests/unit/test_link.py."""
     if k == 1:
         order = F.struct(
-            (-F.col("score")).alias("_s"),
+            (-F.coalesce(F.col("score"), F.lit(float("-inf")))).alias("_s"),
             (-F.coalesce(F.col("prior"), F.lit(float("-inf")))).alias("_p"),
             F.col("cand_entity_id").alias("_e"),
             F.col("cand_alias").alias("_a"),

@@ -376,6 +376,16 @@ def compact_archive(
     covers = set(live)
     for b in absorbs:
         covers |= set(metas[b].get("covers", []))
+    # Record absorbs TRANSITIVELY (ADVICE round 6): if an absorbed
+    # base's own GC once crashed, the base it had absorbed still has a
+    # committed manifest on disk — its retirement depends on the
+    # absorber's manifest naming it. Folding the absorbed base's
+    # ``absorbs`` into the new base's list keeps that retirement alive
+    # after the absorber's manifest is GC'd; otherwise the orphan would
+    # resurrect into _active_bases and double-count its docs.
+    absorbs_rec = sorted(
+        set(absorbs) | {a for b in absorbs for a in metas[b].get("absorbs", [])}
+    )
     next_ver = max(_committed_base_versions(cat), default=0) + 1
     new_base = f"base_{next_ver:06d}"
     kp = similarity.KEY_PREFIX_COL
@@ -393,10 +403,13 @@ def compact_archive(
         docs.repartition(similarity.N_PREFIX_PARTS, kp),
         f"{new_base}_curated",
         partition_by=[kp],
-        meta={"covers": sorted(covers), "absorbs": absorbs},
+        meta={"covers": sorted(covers), "absorbs": absorbs_rec},
     )
     if gc:
-        for b in fold:
+        # absorbs_rec \ absorbs are crash-orphaned stages from an
+        # earlier interrupted GC — dropping is idempotent, so sweep
+        # them here too.
+        for b in sorted(set(fold) | set(absorbs_rec)):
             cat.drop_stage(f"{b}_bands")
             cat.drop_stage(f"{b}_fps")
             cat.drop_stage(f"{b}_curated")

@@ -115,6 +115,10 @@ def test_top_links_agg_path_equals_window_path(spark):
         ("c", 2, "c0", "E8", None, "lsh", 0.5),  # min entity wins
         ("d", 5, "d2", "E4", 0.5, "alias", 1.0),
         ("d", 5, "d1", "E4", 0.5, "lsh", 1.0),   # same entity: min alias wins
+        ("e", 1, "e1", "EA", 0.9, "lsh", None),  # NULL score sorts last...
+        ("e", 1, "e2", "EB", 0.1, "lsh", 0.1),   # ...so any real score beats it
+        ("f", 1, "f2", "ED", None, "lsh", None),  # all-NULL score group:
+        ("f", 1, "f1", "EC", None, "lsh", None),  # min entity wins
     ]
     cands = spark.createDataFrame(
         rows,
@@ -127,13 +131,15 @@ def test_top_links_agg_path_equals_window_path(spark):
         r.norm_surface: r
         for r in link.top_links(cands, k=2).filter("rank = 1").collect()
     }
-    assert set(agg) == set(win) == {"a", "b", "c", "d"}
+    assert set(agg) == set(win) == {"a", "b", "c", "d", "e", "f"}
     for s in agg:
         assert agg[s] == win[s], (s, agg[s], win[s])
     assert agg["a"].entity_id == "E3"
     assert agg["b"].entity_id == "E6"
     assert agg["c"].entity_id == "E7"
     assert agg["d"].gen_source == "lsh"  # d1 < d2
+    assert agg["e"].entity_id == "EB"
+    assert agg["f"].entity_id == "EC"
 
 
 def test_full_corpus_links_all_surfaces_correctly(spark, docs, alias_dict, corpus_dir):

@@ -500,3 +500,32 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     assert got2[("2024-01-01 10:00:00", "click")] == 3  # late update landed
     assert got2[("2024-01-01 11:00:00", "click")] == 1
     assert ("2024-01-01 09:30:00", "click") not in got2  # too-late: dropped
+
+
+def test_gc_crash_orphan_never_resurrects(spark, tmp_path):
+    """ADVICE round 6 (low): absorbs are recorded TRANSITIVELY. If a
+    compaction's GC crashes after its manifest commits (simulated with
+    gc=False), the absorbed base's stages stay on disk and its
+    retirement is recorded only in the absorber's manifest. A later
+    compaction that absorbs and GCs the absorber must carry that record
+    forward — otherwise the orphan resurrects into _active_bases and
+    its docs double-count in the archive union."""
+    conf = _conf(tmp_path)
+    cat = ParquetCatalog(conf.work_dir)
+    streaming.process_batch(spark, _df(spark, [(1, _fresh_text(601))]), 0, conf)
+    streaming.compact_archive(spark, conf, min_batches=1)  # base1: doc 1
+    streaming.process_batch(spark, _df(spark, [(2, _fresh_text(602))]), 1, conf)
+    # base2 absorbs base1 but "crashes" before GC: base1 stays on disk
+    s2 = streaming.compact_archive(spark, conf, min_batches=1, gc=False)
+    assert s2["folded_bases"] == 1
+    assert cat.stage_committed("base_000001_curated")  # the orphan
+    assert set(streaming._active_bases(cat)) == {"base_000002"}
+    streaming.process_batch(spark, _df(spark, [(3, _fresh_text(603))]), 2, conf)
+    # base3 absorbs base2 and GCs it — base2's manifest (the only record
+    # naming base1) disappears; base3's absorbs must now name base1 too
+    s3 = streaming.compact_archive(spark, conf, min_batches=1)
+    assert set(streaming._active_bases(cat)) == {s3["base"]}
+    # the opportunistic sweep also removed the orphan's stages
+    assert not cat.stage_committed("base_000001_curated")
+    docs, _bands = streaming._archive(spark, cat)
+    assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == ["1", "2", "3"]
