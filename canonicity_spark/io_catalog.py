@@ -76,6 +76,7 @@ class StageCatalog:
         rows_in: int | None = None,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        bloom_filter: dict[str, int] | None = None,
     ) -> DataFrame:
         """Write stage output + manifest; returns the re-read DataFrame
         (reading back decouples downstream stages from the upstream
@@ -91,7 +92,15 @@ class StageCatalog:
         partitions (the streaming archive probes, VERDICT round 5 #2).
         A pruning OPTIMIZATION, never a correctness contract: a backend
         without partitioned-write support falls back to a flat write
-        and reads stay correct, just unpruned."""
+        and reads stay correct, just unpruned.
+
+        ``bloom_filter``: column -> expected distinct count. Storage-
+        layout hint like ``partition_by``: backends that support it
+        write per-row-group bloom filters on those columns so a later
+        read pushing an In/EqualTo on them skips row groups whose bloom
+        proves no match (similarity.prune_to_values — bounds probe IO
+        by the batch's touched row groups instead of the archive).
+        Same contract: ignoring it is always correct, just unpruned."""
         from canonicity_spark import metrics
 
         # S7: in-flight row counter piggybacks on the write action
@@ -99,9 +108,11 @@ class StageCatalog:
         # a mismatch means a partial/corrupt write and must not commit.
         df_obs, obs = metrics.observed(df, f"{name}-{self.run_id}-{uuid.uuid4().hex[:6]}")
         if partition_by:
-            self._materialize_partitioned(df_obs, name, partition_by)
+            self._materialize_partitioned(
+                df_obs, name, partition_by, bloom_filter=bloom_filter
+            )
         else:
-            self._materialize(df_obs, name)
+            self._materialize(df_obs, name, bloom_filter=bloom_filter)
         observed_rows = obs.get["rows"]
         written = self._read(df.sparkSession, name)
         lineage = self._partition_lineage(name, written)
@@ -126,11 +137,15 @@ class StageCatalog:
         return written
 
     def _materialize_partitioned(
-        self, df: DataFrame, name: str, partition_by: list[str]
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        bloom_filter: dict[str, int] | None = None,
     ) -> None:
         """Partitioned-layout write hook; the base fallback ignores the
         layout hint (see write_stage — pruning is an optimization)."""
-        self._materialize(df, name)
+        self._materialize(df, name, bloom_filter=bloom_filter)
 
     # -- S5: resume ------------------------------------------------------
     def stage_committed(self, name: str) -> bool:
@@ -221,18 +236,46 @@ class ParquetCatalog(StageCatalog):
         return self.root
 
     # -- hooks ----------------------------------------------------------
-    def _materialize(self, df: DataFrame, name: str) -> None:
-        df.write.mode("overwrite").parquet(self._dir(name))
+    @staticmethod
+    def _bloom_options(bloom_filter: dict[str, int] | None) -> dict[str, str]:
+        """parquet-mr writer options for per-row-group bloom filters."""
+        opts: dict[str, str] = {}
+        for col in bloom_filter or {}:
+            opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+        if opts:
+            # adaptive sizing: each row group's bloom is sized from its
+            # OBSERVED ndv (measured here: 84 KB vs the 1 MB a declared
+            # expected-ndv reserves per row group on a 1k-row stage —
+            # declaring expected.ndv SUPERSEDES adaptive sizing in
+            # parquet-mr, so it must not be set). The dict's ndv values
+            # are documentation + a hint for backends without adaptive
+            # blooms (IcebergCatalog leaves sizing to table defaults).
+            opts["parquet.bloom.filter.adaptive.enabled"] = "true"
+        return opts
+
+    def _materialize(
+        self,
+        df: DataFrame,
+        name: str,
+        bloom_filter: dict[str, int] | None = None,
+    ) -> None:
+        df.write.mode("overwrite").options(
+            **self._bloom_options(bloom_filter)
+        ).parquet(self._dir(name))
 
     def _materialize_partitioned(
-        self, df: DataFrame, name: str, partition_by: list[str]
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        bloom_filter: dict[str, int] | None = None,
     ) -> None:
         """Hive-style layout (``col=val`` directories): a read filtering
         on the partition columns lists only matching directories — the
         parquet stand-in for Iceberg's partition/bloom file skipping."""
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(
-            self._dir(name)
-        )
+        df.write.mode("overwrite").options(
+            **self._bloom_options(bloom_filter)
+        ).partitionBy(*partition_by).parquet(self._dir(name))
 
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._dir(name))
@@ -354,21 +397,39 @@ class IcebergCatalog(StageCatalog):
     def _location(self) -> str:
         return self.prefix
 
-    def _materialize(self, df: DataFrame, name: str) -> None:
-        df.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
+    def _materialize(
+        self,
+        df: DataFrame,
+        name: str,
+        bloom_filter: dict[str, int] | None = None,
+    ) -> None:
+        w = df.writeTo(self._tbl(name)).using("iceberg")
+        for col in bloom_filter or {}:
+            w = w.tableProperty(
+                f"write.parquet.bloom-filter-enabled.column.{col}", "true"
+            )
+        w.createOrReplace()
 
     def _materialize_partitioned(
-        self, df: DataFrame, name: str, partition_by: list[str]
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        bloom_filter: dict[str, int] | None = None,
     ) -> None:
         from pyspark.sql import functions as F
 
         cols = [F.col(c) for c in partition_by]
-        (
+        w = (
             df.writeTo(self._tbl(name))
             .using("iceberg")
             .partitionedBy(cols[0], *cols[1:])
-            .createOrReplace()
         )
+        for col in bloom_filter or {}:
+            w = w.tableProperty(
+                f"write.parquet.bloom-filter-enabled.column.{col}", "true"
+            )
+        w.createOrReplace()
 
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.table(self._tbl(name))

@@ -87,6 +87,14 @@ DEFAULT_CONF: dict[str, str] = {
     # splits to use the machine. On a real cluster with TB-scale inputs
     # this knob is left at the site default — file count dominates.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    # Push large IN lists into the parquet scan as real In predicates
+    # instead of the min/max range the 10-value default degrades them
+    # to — a range is useless on uniformly-hashed probe keys, while an
+    # In evaluates against row-group bloom filters and min/max stats
+    # (the streaming archive probes, similarity.prune_to_values: probe
+    # IO bounded by batch-touched row groups, not archive size). The
+    # list is micro-batch-sized by construction (MAX_PROBE_VALUES cap).
+    "spark.sql.parquet.pushdown.inFilterThreshold": str(70000),
 }
 
 

