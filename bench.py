@@ -168,6 +168,48 @@ def main() -> None:
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 
+    def run_cc_distributed() -> dict:
+        """The DISTRIBUTED CC kernel on a >2^20-edge synthetic graph
+        (VERDICT round 6 #6: vocabulary graphs always take the driver
+        union-find now, so without this line a kernel regression would
+        be invisible until someone hits it above the bound).
+        driver_max_edges=0 forces the iterative salted loop. Graph
+        shape: three-level hierarchical stars (2^21 leaf edges + block
+        and super-block links) — a realistic few-round convergence, NOT
+        a long-cycle permutation whose diameter would cap out max_iter
+        every time (a 20-round x 2M-edge loop is a kernel STRESS test,
+        not a health line). Measured ONCE, outside the rep loop: it is
+        an observability line for the kernel's wall + round count, not
+        a round-over-round comparison query."""
+        from canonicity_spark import canonicalize
+
+        n = 1 << 21
+        ids = spark.range(n)
+        leaf = ids.select(
+            F.col("id").alias("s"), (F.col("id") - F.col("id") % 256).alias("d")
+        )
+        block = (
+            spark.range(n // 256)
+            .select((F.col("id") * 256).alias("s"))
+            .select("s", (F.col("s") - F.col("s") % 65536).alias("d"))
+        )
+        edges = (
+            leaf.unionByName(block)
+            .filter(F.col("s") != F.col("d"))
+            .select(
+                F.concat(F.lit("n"), F.col("s")).alias("src"),
+                F.concat(F.lit("n"), F.col("d")).alias("dst"),
+            )
+        )
+        stats: dict = {}
+        t0 = time.perf_counter()
+        canonicalize.connected_components(
+            edges, driver_max_edges=0, stats=stats
+        ).count()
+        stats["wall_sec"] = round(time.perf_counter() - t0, 3)
+        stats["n_edges"] = int(n + n // 256)
+        return stats
+
     def run_curate():
         wd = tempfile.mkdtemp(prefix="bench_curate_")
         try:
@@ -219,6 +261,8 @@ def main() -> None:
             raw[name].append(wall)
             print(f"  rep{rep} {name}: {wall:.2f}s", file=sys.stderr)
 
+    cc_stats = run_cc_distributed()
+
     timings = {
         name: round(statistics.median(walls), 3) for name, walls in raw.items()
     }
@@ -237,6 +281,7 @@ def main() -> None:
                 "sf": sf,
                 "pipeline_docs": N_BENCH_DOCS,
                 "pipeline_docs_per_sec": docs_per_sec,
+                "cc_distributed": cc_stats,
                 "cpus": int(CPUS),
             }
         )

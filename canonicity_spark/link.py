@@ -217,7 +217,10 @@ def alias_candidates(surfaces: DataFrame, alias_dict: DataFrame) -> DataFrame:
 
 
 def band_join(
-    probe_bands: DataFrame, build_bands: DataFrame, max_bucket: int = _MAX_BUCKET
+    probe_bands: DataFrame,
+    build_bands: DataFrame,
+    max_bucket: int = _MAX_BUCKET,
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """L4 core — the blocking equi-join on (band_id, band_hash) with the
     hot-bucket skew guard, independent of how bands were produced (so
@@ -240,17 +243,46 @@ def band_join(
     guarded = build_bands.join(
         F.broadcast(hot), ["band_id", "band_hash"], "left_anti"
     )
+    if broadcast_build:
+        # the caller asserts the build side is dictionary-bounded
+        # (alias dict x n_bands rows): broadcasting it removes the
+        # probe-side shuffle entirely — the same size argument that
+        # mandates the L1 dictionary broadcast (BASELINE.json:6)
+        guarded = F.broadcast(guarded)
     return probe_bands.join(guarded, ["band_id", "band_hash"], "inner")
 
 
-def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
+def lsh_candidates(
+    unmatched: DataFrame,
+    alias_dict: DataFrame,
+    dedup: bool = True,
+    broadcast_dict: bool = False,
+) -> DataFrame:
     """L3+L4 — MinHash-LSH blocking of unmatched surfaces vs the dictionary.
 
     Both sides get signatures; candidates are pairs sharing any
     (band_id, band_hash) bucket. Buckets above _MAX_BUCKET on the
     dictionary side are dropped — a hot bucket would pair-explode
     (L4 skew guard); recall loss is logged by the caller via lineage.
+
+    Both sides cross the banding UDF in ONE fused pass (a tagged union
+    of the surface and alias strings): one Python stage launch and one
+    pinned frame instead of two — at vocabulary scale the stage is
+    latency-bound (scheduling + Arrow round-trips on near-empty
+    partitions), so stage COUNT is the cost that matters, and at web
+    scale one pass over vocab+dict strings is no more work than two.
+
+    ``dedup=False`` skips the output ``dropDuplicates`` — one full
+    candidate shuffle. A surface/alias pair sharing several bands
+    yields byte-identical duplicate rows, which are invisible to an
+    argmin (``top_links`` k=1) — the pipeline's consumer — but NOT to a
+    rank window (k>=2 would emit the duplicate at ranks 1 and 2), hence
+    opt-in. ``broadcast_dict`` asserts the dictionary side is small
+    enough to broadcast post-banding (alias dict x n_bands rows — the
+    L1 broadcast argument).
     """
+    from canonicity_spark import cache
+
     def with_bands(df: DataFrame, text_col: str) -> DataFrame:
         # posexplode_OUTER, deliberately: plain posexplode makes
         # InferFiltersFromGenerate add `size(_bands)>0 AND isnotnull`,
@@ -266,26 +298,43 @@ def lsh_candidates(unmatched: DataFrame, alias_dict: DataFrame) -> DataFrame:
             "*", F.posexplode_outer("_bands").alias("band_id", "band_hash")
         ).drop("_bands")
 
-    from canonicity_spark import cache
-
-    m_bands = with_bands(unmatched.select("norm_surface", "freq"), "norm_surface")
-    # the dictionary band table feeds band_join TWICE (hot-bucket agg +
-    # guarded join); pin it so the banding UDF runs once over the
-    # dictionary, not twice (owner "link": released by link_surfaces'
-    # entry release / the pipeline's post-stage scoped release)
-    a_bands = cache.pin(
-        with_bands(alias_dict.select("alias", "entity_id", "prior"), "alias"),
-        owner="link",
+    tagged = unmatched.select(
+        F.col("norm_surface").alias("_txt"),
+        "freq",
+        F.lit(None).cast("string").alias("entity_id"),
+        F.lit(None).cast("double").alias("prior"),
+        F.lit(True).alias("_is_surf"),
+    ).unionByName(
+        alias_dict.select(
+            F.col("alias").alias("_txt"),
+            F.lit(None).cast("long").alias("freq"),
+            "entity_id",
+            "prior",
+            F.lit(False).alias("_is_surf"),
+        )
     )
-    pairs = band_join(m_bands, a_bands, _MAX_BUCKET)
-    return pairs.select(
+    # pinned: feeds three consumers (probe side, hot-bucket agg, guarded
+    # join), so the banding UDF runs once (owner "link": released by
+    # link_surfaces' entry release / the pipeline's post-stage release)
+    banded = cache.pin(with_bands(tagged, "_txt"), owner="link")
+    m_bands = banded.filter(F.col("_is_surf")).select(
+        F.col("_txt").alias("norm_surface"), "freq", "band_id", "band_hash"
+    )
+    a_bands = banded.filter(~F.col("_is_surf")).select(
+        F.col("_txt").alias("alias"), "entity_id", "prior", "band_id", "band_hash"
+    )
+    pairs = band_join(m_bands, a_bands, _MAX_BUCKET, broadcast_build=broadcast_dict)
+    out = pairs.select(
         "norm_surface",
         "freq",
         F.col("alias").alias("cand_alias"),
         F.col("entity_id").alias("cand_entity_id"),
         "prior",
         F.lit("lsh").alias("gen_source"),
-    ).dropDuplicates(["norm_surface", "cand_entity_id", "cand_alias"])
+    )
+    if dedup:
+        out = out.dropDuplicates(["norm_surface", "cand_entity_id", "cand_alias"])
+    return out
 
 
 def score_candidates(cands: DataFrame) -> DataFrame:
@@ -385,7 +434,11 @@ def link_surfaces(
         "norm_surface",
         "left_anti",
     )
-    fuzzy = lsh_candidates(unmatched, dict_norm)
+    # dedup=False: duplicate candidate rows (same pair via several
+    # shared bands) are argmin-invariant under top_links k=1, and the
+    # dropDuplicates they'd feed is a full candidate-table shuffle;
+    # broadcast_dict: the banded dictionary is dictionary-bounded
+    fuzzy = lsh_candidates(unmatched, dict_norm, dedup=False, broadcast_dict=True)
     cands = exact.unionByName(fuzzy)
     best = cache.pin(
         top_links(score_candidates(cands), k=1).filter(F.col("score") >= tau),

@@ -95,14 +95,40 @@ def run(
             conf.work_dir, run_id=conf.run_id, fingerprint=fingerprint
         )
 
+    # Per-stage session-conf overrides, applied around compute+write and
+    # restored after. surface_links: the linker operates at VOCABULARY
+    # scale, where the wall is task-wave latency, not work — letting AQE
+    # re-plan inside its pinned subtrees (surfaces/banded/best) collapses
+    # dozens of near-empty 64-partition waves (measured 4.8s -> 2.5s at
+    # 20k docs). Deliberately NOT global: on candidate-scale cached
+    # plans the same flag defeats cache reuse (curate near_pairs
+    # measured 25s -> 200s+), so it must stay scoped to stages whose
+    # pins are known-small.
+    stage_conf: dict[str, dict[str, str]] = {
+        "surface_links": {
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true"
+        },
+    }
+
     def stage(name: str, compute) -> DataFrame:
         if conf.resume and cat.stage_committed(name):
             return cat.read_stage(spark, name)
         t0 = time.perf_counter()
         pins_before = cache.mark()
-        df = compute()
-        conf.stages_run.append(name)
-        out = cat.write_stage(df, name)
+        overrides = stage_conf.get(name, {})
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            df = compute()
+            conf.stages_run.append(name)
+            out = cat.write_stage(df, name)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         conf.stage_wall[name] = round(time.perf_counter() - t0, 3)
         # the stage output is checkpoint-backed now — release the pins
         # THIS stage created (link's surfaces/best etc.), and only

@@ -25,6 +25,13 @@ DEFAULT_CONF: dict[str, str] = {
     # the work — let AQE actually coalesce to the advisory size.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # NOTE on spark.sql.optimizer.canChangeCachedPlanOutputPartitioning:
+    # tried globally (it lets AQE coalesce inside cached subtrees, and
+    # the vocabulary-scale LINK stage is latency-bound on near-empty
+    # 64-partition task waves: 4.8s -> 2.5s measured) — but it
+    # catastrophically regresses candidate-scale cached plans (curate's
+    # near_pairs: 25s -> 200s+, the re-planned cache missing reuse), so
+    # it is scoped per-stage in pipeline.run instead of set here.
     # Arrow path for every pandas UDF (BASELINE.json:15 mandates
     # vectorized UDFs; this is the JVM<->Python batch transport).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -261,7 +261,10 @@ def _banded_docs(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
 
 
 def minhash_near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", max_bucket: int = 200
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = 200,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs over document text.
 
@@ -298,11 +301,16 @@ def minhash_near_dup_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_pairs_jaccard(pairs, base, owner="minhash_dedup")
+    return _verify_pairs_jaccard(
+        pairs, base, owner="minhash_dedup", min_jaccard=min_jaccard
+    )
 
 
 def _verify_pairs_jaccard(
-    pairs: DataFrame, base: DataFrame, owner: str = "default"
+    pairs: DataFrame,
+    base: DataFrame,
+    owner: str = "default",
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact 5-gram jaccard over candidate pairs, with each CANDIDATE
     DOC's shingle set computed once and joined to its pairs.
@@ -322,6 +330,17 @@ def _verify_pairs_jaccard(
     candidate join/dedup and the shingle transforms run once, not 3x
     (unpinned, the re-evaluations tripled the stage's fixed overhead
     at small scale).
+
+    ``min_jaccard`` (VERDICT round 6 #4): when the caller only keeps
+    pairs at or above a threshold, candidates are pre-pruned on the
+    EXACT set-size bound jaccard <= min(|A|,|B|)/max(|A|,|B|) (the
+    positional/length prefix-filter idea from the set-similarity-join
+    literature, e.g. TokenJoin/ppjoin) BEFORE any per-pair set work —
+    two int compares instead of a set union per pruned pair, with zero
+    false negatives. Output then only contains pairs with jaccard >=
+    min_jaccard. The jaccard itself needs ONE set op, not two:
+    |A∩B| = |A|+|B|-|A∪B| on distinct arrays, so array_intersect is
+    never evaluated.
     """
     pairs = cache.pin(pairs, owner=owner)
     cand_ids = (
@@ -340,23 +359,42 @@ def _verify_pairs_jaccard(
         # and to the row groups holding those ids (pairs are pinned, so
         # this collect reads the cached candidate frame) — VERDICT r6 #1
         base = prune_to_values(base, "doc_id", cand_ids)
+    # two selects, not one: shingles_col is an interpreted HOF
+    # (CodegenFallback), which gets NO common-subexpression elimination
+    # — putting sh and size(sh) in one projection evaluates the shingle
+    # transform twice per doc (measured: near_pairs 24s -> 34s)
     sets = cache.pin(
-        base.join(cand_ids, "doc_id", "left_semi").select(
-            "doc_id", shingles_col(F.col("_t"), 5).alias("_sh")
-        ),
+        base.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles_col(F.col("_t"), 5).alias("_sh"))
+        .select("doc_id", "_sh", F.size("_sh").alias("_sz")),
         owner=owner,
     )
     with_sets = pairs.join(
-        sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("sh_a")),
+        sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("_sh").alias("sh_a"),
+            F.col("_sz").alias("sz_a"),
+        ),
         "doc_a",
     ).join(
-        sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("sh_b")),
+        sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("_sh").alias("sh_b"),
+            F.col("_sz").alias("sz_b"),
+        ),
         "doc_b",
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return with_sets.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    if min_jaccard is not None:
+        with_sets = with_sets.filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
+        )
+    union_sz = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (F.col("sz_a") + F.col("sz_b") - union_sz) / union_sz
+    out = with_sets.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def cosine_pairs_exact(embeddings: DataFrame, threshold: float = 0.8) -> DataFrame:
@@ -689,9 +727,13 @@ def ngram_jaccard_pairs(
     ``max_bucket`` reaches the hot-bucket guard (ADVICE round 4: a
     caller-tuned cap must apply on this path too, or the first
     streaming batch gets a different recall cutoff than later ones)."""
-    return minhash_near_dup_pairs(docs, text_col, max_bucket=max_bucket).filter(
-        F.col("jaccard") >= threshold
-    )
+    # min_jaccard pushes the threshold into the verify step: candidates
+    # are pre-pruned on the exact set-size bound before any per-pair
+    # set work (see _verify_pairs_jaccard), and the output filter is
+    # then redundant-but-harmless documentation of the contract
+    return minhash_near_dup_pairs(
+        docs, text_col, max_bucket=max_bucket, min_jaccard=threshold
+    ).filter(F.col("jaccard") >= threshold)
 
 
 #: Hash-prefix partition count for durable bucket indexes (streaming
@@ -982,7 +1024,9 @@ def minhash_near_dup_against(
     if KEY_PREFIX_COL in index.texts.columns:
         new_base = new_base.withColumn(KEY_PREFIX_COL, key_prefix_col(["doc_id"]))
     texts_all = index.texts.unionByName(new_base)
-    out = _verify_pairs_jaccard(pairs, texts_all, owner="minhash_incr")
+    out = _verify_pairs_jaccard(
+        pairs, texts_all, owner="minhash_incr", min_jaccard=threshold
+    )
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
