@@ -355,10 +355,9 @@ def _verify_pairs_jaccard(
         # pair-scale, so the widest per-increment archive scan (the
         # text column) stops being O(archive) (VERDICT round 5 #2)
         cand_ids = cand_ids.withColumn(KEY_PREFIX_COL, key_prefix_col(["doc_id"]))
-        base = prune_to_prefixes(base, KEY_PREFIX_COL, cand_ids)
-        # and to the row groups holding those ids (pairs are pinned, so
-        # this collect reads the cached candidate frame) — VERDICT r6 #1
-        base = prune_to_values(base, "doc_id", cand_ids)
+        # partitions AND row groups holding candidate ids, one collect
+        # (pairs are pinned, so it reads the cached candidate frame)
+        base = prune_to_keys(base, KEY_PREFIX_COL, "doc_id", cand_ids)
     # two selects, not one: shingles_col is an interpreted HOF
     # (CodegenFallback), which gets NO common-subexpression elimination
     # — putting sh and size(sh) in one projection evaluates the shingle
@@ -849,6 +848,43 @@ def prune_to_values(
     return archive.filter(F.col(col).isin(sorted(vals)))
 
 
+def prune_to_keys(
+    archive: DataFrame,
+    kp_col: str,
+    val_col: str,
+    probe: DataFrame,
+    max_values: int = MAX_PROBE_VALUES,
+) -> DataFrame:
+    """Fused prefix + value pruning in ONE driver action: collect the
+    probe's distinct (prefix, key) pairs once and derive both the
+    partition filter and the In predicate from it — the separate
+    prune_to_prefixes + prune_to_values pair costs two executions of
+    the probe's DAG per probe site, and a micro-batch runs three probe
+    sites (measured: the driver actions are a visible share of
+    per-batch latency at small scale).
+
+    Correctness guard: when the collect hits the ``max_values`` cap the
+    pair list may be INCOMPLETE — deriving prefixes from it would prune
+    partitions that hold matches (missed duplicates), so the oversized
+    case falls back to the always-bounded prefix-only collect
+    (<= N_PREFIX_PARTS ints) and skips value pruning, exactly the
+    prune_to_prefixes behavior."""
+    rows = (
+        probe.select(kp_col, val_col)
+        .distinct()
+        .limit(max_values + 1)
+        .collect()
+    )
+    if not rows:
+        return archive.filter(F.lit(False))
+    if len(rows) > max_values:
+        return prune_to_prefixes(archive, kp_col, probe)
+    prefixes = sorted({r[0] for r in rows})
+    return archive.filter(F.col(kp_col).isin(prefixes)).filter(
+        F.col(val_col).isin(sorted({r[1] for r in rows}))
+    )
+
+
 def _bucket_pair_candidates(
     new_rows: DataFrame,
     all_rows: DataFrame,
@@ -888,12 +924,14 @@ def _bucket_pair_candidates(
     if KEY_PREFIX_COL in all_rows.columns:
         if KEY_PREFIX_COL not in new_rows.columns:
             new_rows = new_rows.withColumn(KEY_PREFIX_COL, key_prefix_col(key_cols))
-        all_rows = prune_to_prefixes(all_rows, KEY_PREFIX_COL, new_rows)
-        # value-level row-group skipping on the hash-like key component
-        # (band_hash / band_val / bucket — key_cols[-1] by convention):
-        # a SUPERSET of the semi-join below, pushed into the scan so
+        # one fused collect: partition pruning + value-level row-group
+        # skipping on the hash-like key component (band_hash / band_val
+        # / bucket — key_cols[-1] by convention); the value In is a
+        # SUPERSET of the semi-join below, pushed into the scan so
         # bloom/min-max stats bound IO by the batch (VERDICT round 6 #1)
-        all_rows = prune_to_values(all_rows, key_cols[-1], new_rows)
+        all_rows = prune_to_keys(
+            all_rows, KEY_PREFIX_COL, key_cols[-1], new_rows
+        )
         # broadcast of the new side's distinct bucket keys: increment-
         # sized by the incremental contract (micro-batches), never
         # archive-sized
