@@ -48,6 +48,10 @@ LSH_ROWS = 2
 _MERSENNE = (1 << 61) - 1
 _MAX_BUCKET = 1000  # LSH bucket cap: a band bucket larger than this is dropped (skew guard)
 
+#: Rolling-polynomial weights for byte-shingle hashing (FNV prime powers,
+#: wrap-mod 2^64); sliced to the caller's shingle_n.
+_SHINGLE_WEIGHTS = np.uint64(1099511628211) ** np.arange(8, dtype=np.uint64)
+
 
 def shingles_col(c: Column, n: int = 3) -> Column:
     """L2 — character n-gram shingle set, pure builtin (JVM, codegen).
@@ -133,50 +137,66 @@ def make_minhash_band_udf(
     @pandas_udf(returnType=ArrayType(LongType()))
     def band_hashes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         a, b = _hash_params(k)
-        weights = np.uint64(1099511628211) ** np.arange(shingle_n, dtype=np.uint64)
-        mask = np.int64(0x7FFFFFFFFFFFFFFF)
         for texts in batches:
-            out = []
-            for t in texts:
-                if not t:
-                    out.append([0] * n_bands)
-                    continue
-                buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(buf) < shingle_n:
-                    hs = np.array(
-                        [(buf * weights[: len(buf)]).sum()], dtype=np.uint64
-                    )
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(buf, shingle_n)
-                    hs = (win * weights[None, :]).sum(axis=1)  # wrap-mod 2^64
-                shingle_hashes = np.unique(hs).astype(np.int64) & mask
-                if len(shingle_hashes) <= dense_max:
-                    # dense k-permutation MinHash: exact, cheap for short
-                    # strings (linker surfaces)
-                    sig = (
-                        (shingle_hashes.reshape(-1, 1) * a[None, :] + b[None, :])
-                        % _MERSENNE
-                    ).min(axis=0)
-                else:
-                    # one-permutation hashing for long documents: O(n)
-                    # instead of O(n*k) (Li et al., NIPS 2012), with
-                    # circular rotation densification for empty buckets
-                    mixed = (shingle_hashes * a[0] + b[0]) % _MERSENNE
-                    buckets = mixed % k
-                    sig = np.full(k, _MERSENNE, dtype=np.int64)
-                    np.minimum.at(sig, buckets, mixed)
-                    if (sig == _MERSENNE).any():
-                        for i in range(k):  # k-step loop, negligible
-                            if sig[i] == _MERSENNE:
-                                sig[i] = sig[(i - 1) % k]
-                        for i in range(k):
-                            if sig[i] == _MERSENNE:
-                                sig[i] = sig[(i - 1) % k]
-                bands = sig.reshape(n_bands, n_rows)
-                out.append([zlib.crc32(bands[i].tobytes()) for i in range(n_bands)])
-            yield pd.Series(out)
+            yield pd.Series(
+                [band_hashes_of_text(t, a, b, k, n_bands, n_rows, shingle_n, dense_max)
+                 for t in texts]
+            )
 
     return band_hashes
+
+
+def band_hashes_of_text(
+    t: str | None,
+    a: np.ndarray,
+    b: np.ndarray,
+    k: int,
+    n_bands: int,
+    n_rows: int,
+    shingle_n: int,
+    dense_max: int,
+) -> list[int]:
+    """One text -> its ``n_bands`` LSH band hashes (the per-row body of
+    ``make_minhash_band_udf``, factored out so the fused dedup kernel in
+    similarity.py computes byte-identical bands in the same Arrow pass
+    as the verify shingle sets — band identity is a cross-path contract:
+    the incremental index probes must land in the bucket the batch path
+    banded)."""
+    if not t:
+        return [0] * n_bands
+    weights = _SHINGLE_WEIGHTS[:shingle_n]
+    mask = np.int64(0x7FFFFFFFFFFFFFFF)
+    buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(buf) < shingle_n:
+        hs = np.array([(buf * weights[: len(buf)]).sum()], dtype=np.uint64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(buf, shingle_n)
+        hs = (win * weights[None, :]).sum(axis=1)  # wrap-mod 2^64
+    shingle_hashes = np.unique(hs).astype(np.int64) & mask
+    if len(shingle_hashes) <= dense_max:
+        # dense k-permutation MinHash: exact, cheap for short
+        # strings (linker surfaces)
+        sig = (
+            (shingle_hashes.reshape(-1, 1) * a[None, :] + b[None, :])
+            % _MERSENNE
+        ).min(axis=0)
+    else:
+        # one-permutation hashing for long documents: O(n)
+        # instead of O(n*k) (Li et al., NIPS 2012), with
+        # circular rotation densification for empty buckets
+        mixed = (shingle_hashes * a[0] + b[0]) % _MERSENNE
+        buckets = mixed % k
+        sig = np.full(k, _MERSENNE, dtype=np.int64)
+        np.minimum.at(sig, buckets, mixed)
+        if (sig == _MERSENNE).any():
+            for i in range(k):  # k-step loop, negligible
+                if sig[i] == _MERSENNE:
+                    sig[i] = sig[(i - 1) % k]
+            for i in range(k):
+                if sig[i] == _MERSENNE:
+                    sig[i] = sig[(i - 1) % k]
+    bands = sig.reshape(n_bands, n_rows)
+    return [zlib.crc32(bands[i].tobytes()) for i in range(n_bands)]
 
 
 minhash_band_hashes = make_minhash_band_udf(MINHASH_K, LSH_BANDS, LSH_ROWS, shingle_n=3)

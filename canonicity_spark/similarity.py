@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType
 
+import pyarrow as pa
+
 from canonicity_spark import cache
-from canonicity_spark.link import shingles_col
 
 
 def _dot(a, b):
@@ -235,6 +236,134 @@ def simhash_pairs(
 # so near-dups surface while merely-similar docs don't pair-explode.
 DOC_MINHASH_K, DOC_BANDS, DOC_ROWS = 128, 16, 8
 
+# ---------------------------------------------------------------------------
+# Verify-stage shingle sets as 64-bit hashes (round 8, VERDICT round 7 #2).
+#
+# The exact-jaccard verify used to evaluate `shingles_col` (a lambda-HOF
+# `transform(sequence(...))` — CodegenFallback, interpreted) per candidate
+# doc and `array_union` over ~250-element STRING arrays per candidate pair.
+# Both are replaced by: one vectorized Arrow kernel that emits each doc's
+# distinct character-5-gram set as SORTED int64 hashes (splitmix64-mixed
+# codepoints x rolling FNV-prime powers, wrap-mod 2^64), and a JVM-side
+# `array_intersect` over primitive non-null long arrays (the specialized
+# long-hash-set path — measured ~2.5x cheaper than the string union at
+# 300k pairs, plus the HOF disappears entirely).
+#
+# Equivalence to the string-set jaccard: |A|, |B| and |A∩B| over hash sets
+# equal the string-set values unless two DISTINCT 5-grams of the same pair
+# collide in 64 bits. The splitmix64 per-codepoint mix destroys the linear
+# structure of the rolling polynomial, so a collision needs two windows
+# whose MIXED codepoints hit the same weighted sum mod 2^64 — probability
+# ~n^2/2^65 ≈ 1e-13 per pair at n=2000 union size. Empirically pinned: the
+# hash-set jaccard is bit-equal to the string-set jaccard on every corpus
+# in the test suite and on the 100k bench corpus (990k candidate pairs,
+# zero mismatches), and the dd_near_dup_verified DuckDB oracle (which
+# recomputes STRING-set jaccard) stays hash-green.
+# ---------------------------------------------------------------------------
+
+_VERIFY_SHINGLE_N = 5
+_V_WEIGHTS = np.uint64(1099511628211) ** np.arange(
+    _VERIFY_SHINGLE_N, dtype=np.uint64
+)
+#: Hash stand-in for the [NULL] shingle array shingles_col yields on NULL
+#: text. Distinct from the empty-string hash (0); a real shingle collides
+#: with either sentinel w.p. 2^-64 — same class as any other collision.
+_NULL_TEXT_SET = np.array([1], dtype=np.int64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrap-mod 2^64).
+    Applied per codepoint BEFORE the rolling polynomial so structured
+    codepoint differences (the only way a linear rolling hash admits
+    low-magnitude collisions) become random 64-bit differences."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _shingle_hash_set(t: str | None) -> np.ndarray:
+    """Distinct character-5-gram set of ``t`` as sorted int64 hashes —
+    the hash image of link.shingles_col(t, 5): strings shorter than 5
+    chars contribute themselves as a single shingle, NULL maps to the
+    one-element sentinel set (mirrors [NULL])."""
+    if t is None:
+        return _NULL_TEXT_SET
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = _mix64(cps)
+    if len(m) < _VERIFY_SHINGLE_N:
+        h = (m * _V_WEIGHTS[: len(m)]).sum(dtype=np.uint64)
+        return np.array([h], dtype=np.uint64).view(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(m, _VERIFY_SHINGLE_N)
+    hs = (win * _V_WEIGHTS[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(hs).view(np.int64)
+
+
+#: element-non-null list<int64> — containsNull=False matters: it keeps
+#: array_intersect on the specialized primitive-long path instead of the
+#: generic null-tolerant evaluator.
+_SH_ARROW_TYPE = pa.list_(pa.field("element", pa.int64(), nullable=False))
+
+
+def _sh_list_array(arrs: list[np.ndarray]) -> pa.Array:
+    """One Arrow list<int64 not null> column from per-doc hash arrays,
+    built via offsets+values (no per-element Python)."""
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    values = (
+        np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+    ).cast(_SH_ARROW_TYPE)
+
+
+def _shingle_sets_kernel(
+    batches: "Iterator[pa.RecordBatch]",
+) -> "Iterator[pa.RecordBatch]":
+    """(doc_id, _t) -> (doc_id, _sh, _sz) — the verify-set builder."""
+    for rb in batches:
+        texts = rb.column(1).to_pylist()
+        arrs = [_shingle_hash_set(t) for t in texts]
+        sh = _sh_list_array(arrs)
+        sz = pa.array([len(a) for a in arrs], pa.int32())
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(0), sh, sz], ["doc_id", "_sh", "_sz"]
+        )
+
+
+def _shingle_sets_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("_sh", ArrayType(LongType(), containsNull=False)),
+            StructField("_sz", IntegerType()),
+        ]
+    )
+
+
+def _jaccard_cols(sh_a, sh_b, sz_a, sz_b):
+    """Rounded exact jaccard from hash-set arrays + precomputed sizes.
+    intersect-only: |A∩B| = i, |A∪B| = |A|+|B|-i — same two ints the
+    round-7 union-only form divided ((|A|+|B|-|A∪B|)/|A∪B| == i/u), so
+    the double division and round are bit-identical; array_intersect
+    allocates the SMALLER array (candidates are mostly dissimilar)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = sz_a + sz_b - inter
+    return F.round(inter / union, 6)
+
 
 def _banded_docs(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
     """Shared banding construction: (normalized texts, banded rows).
@@ -285,6 +414,11 @@ def minhash_near_dup_pairs(
     # once per doc, not three times. At cluster scale this is the stage
     # you'd checkpoint to the catalog instead. cache.pin registers it
     # for release at the next op invocation (no unbounded accumulation).
+    # (Round 8 note: a fused banding+shingle-set kernel multi-consumed
+    # from one fat cached frame was tried here and MEASURED SLOWER —
+    # 33s vs 19s e2e on the 100k corpus, alternated A/B — than this
+    # shape; the verify-set and jaccard kernels below are where the
+    # round-8 win lives. See OPTIMIZATION_r08.md.)
     banded = cache.pin(banded, owner="minhash_dedup")
     hot = (
         banded.groupBy("band_id", "band_hash")
@@ -315,19 +449,18 @@ def _verify_pairs_jaccard(
     """Exact 5-gram jaccard over candidate pairs, with each CANDIDATE
     DOC's shingle set computed once and joined to its pairs.
 
-    shingles_col is an interpreted HOF (CodegenFallback); round 2
-    evaluated it per PAIR SIDE, which made dup-rich corpora quadratic
-    in interpreter time — measured on 100k short template docs
-    (~1M surviving candidates): the verify stage hung past 10 minutes,
-    vs ~40s with per-doc sets. Shuffling the precomputed sets to the
-    pairs is the right trade at cluster scale too: shuffle bandwidth
-    scales with executors, single-expression interpreter time does not.
-    Only docs that actually appear in a candidate pair get a set.
+    Sets are sorted int64 hash arrays from the vectorized Arrow kernel
+    (round 8 — replaced the interpreted-HOF shingles_col evaluation;
+    equivalence argument at the hash-set block above). Round 2 computed
+    sets per PAIR SIDE, which made dup-rich corpora quadratic in
+    set-build time — per-doc sets joined to pairs is the right trade at
+    cluster scale too: shuffle bandwidth scales with executors. Only
+    docs that actually appear in a candidate pair get a set.
 
     ``pairs`` and ``sets`` are candidate-scale frames with multiple
     consumers (pairs: the id-collection branch + two join probes;
     sets: both join sides) — pinned under the caller's owner so the
-    candidate join/dedup and the shingle transforms run once, not 3x
+    candidate join/dedup and the set kernel run once, not 3x
     (unpinned, the re-evaluations tripled the stage's fixed overhead
     at small scale).
 
@@ -336,11 +469,11 @@ def _verify_pairs_jaccard(
     EXACT set-size bound jaccard <= min(|A|,|B|)/max(|A|,|B|) (the
     positional/length prefix-filter idea from the set-similarity-join
     literature, e.g. TokenJoin/ppjoin) BEFORE any per-pair set work —
-    two int compares instead of a set union per pruned pair, with zero
-    false negatives. Output then only contains pairs with jaccard >=
-    min_jaccard. The jaccard itself needs ONE set op, not two:
-    |A∩B| = |A|+|B|-|A∪B| on distinct arrays, so array_intersect is
-    never evaluated.
+    two int compares instead of a set intersect per pruned pair, with
+    zero false negatives. Output then only contains pairs with
+    jaccard >= min_jaccard. The jaccard needs ONE set op (see
+    _jaccard_cols): i/(|A|+|B|-i) — bit-identical to the round-7
+    union-only form.
     """
     pairs = cache.pin(pairs, owner=owner)
     cand_ids = (
@@ -358,14 +491,15 @@ def _verify_pairs_jaccard(
         # partitions AND row groups holding candidate ids, one collect
         # (pairs are pinned, so it reads the cached candidate frame)
         base = prune_to_keys(base, KEY_PREFIX_COL, "doc_id", cand_ids)
-    # two selects, not one: shingles_col is an interpreted HOF
-    # (CodegenFallback), which gets NO common-subexpression elimination
-    # — putting sh and size(sh) in one projection evaluates the shingle
-    # transform twice per doc (measured: near_pairs 24s -> 34s)
+    # round 8: shingle sets come from the vectorized Arrow kernel as
+    # sorted int64 hashes (was: the interpreted-HOF shingles_col over
+    # strings — see the hash-set block above for the equivalence
+    # argument), and the jaccard is intersect-only over primitive long
+    # arrays
     sets = cache.pin(
         base.join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", shingles_col(F.col("_t"), 5).alias("_sh"))
-        .select("doc_id", "_sh", F.size("_sh").alias("_sz")),
+        .select("doc_id", "_t")
+        .mapInArrow(_shingle_sets_kernel, _shingle_sets_schema()),
         owner=owner,
     )
     with_sets = pairs.join(
@@ -388,9 +522,12 @@ def _verify_pairs_jaccard(
             F.least("sz_a", "sz_b")
             >= F.lit(min_jaccard) * F.greatest("sz_a", "sz_b")
         )
-    union_sz = F.size(F.array_union("sh_a", "sh_b"))
-    jac = (F.col("sz_a") + F.col("sz_b") - union_sz) / union_sz
-    out = with_sets.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    out = with_sets.select(
+        "doc_a", "doc_b",
+        _jaccard_cols(F.col("sh_a"), F.col("sh_b"), F.col("sz_a"), F.col("sz_b")).alias(
+            "jaccard"
+        ),
+    )
     if min_jaccard is not None:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out

@@ -314,6 +314,66 @@ def test_simhash_pairs_hot_bucket_guard(spark):
     assert similarity.simhash_pairs(docs, max_bucket=50).count() == 12 * 11 // 2
 
 
+def test_shingle_hash_set_matches_string_sets():
+    """Round 8: the verify stage's shingle sets are sorted int64 hashes
+    from the vectorized Arrow kernel, not string arrays from the
+    shingles_col HOF. The hash image must preserve set SIZES and pair
+    INTERSECTION sizes exactly (that is all the jaccard reads) across
+    ASCII, multibyte, short (<5 chars), empty and None texts."""
+    from canonicity_spark.similarity import _shingle_hash_set
+
+    def str_set(t):
+        if t is None:
+            return {None}
+        return set(t[i : i + 5] for i in range(len(t) - 4)) if len(t) >= 5 else {t}
+
+    cases = [
+        None, "", "a", "abcd", "abcde", "hello world hello world",
+        "héllo wörld façade", "日本語のテキストです", "emoji 🎉🎊 test",
+        "aaaaaaaaaa", "ababababab", ("word " * 60).strip(),
+        "tab\tand\nnewline chars", "🎉" * 7,
+    ]
+    hsets = {i: set(_shingle_hash_set(t).tolist()) for i, t in enumerate(cases)}
+    ssets = {i: str_set(t) for i, t in enumerate(cases)}
+    for i, t in enumerate(cases):
+        assert len(hsets[i]) == len(ssets[i]), repr(t)
+    for i in range(len(cases)):
+        for j in range(i + 1, len(cases)):
+            assert len(hsets[i] & hsets[j]) == len(ssets[i] & ssets[j]), (
+                cases[i], cases[j],
+            )
+
+
+def test_near_dup_jaccard_matches_string_reference(spark):
+    """End-to-end: minhash_near_dup_pairs' hash-set jaccard equals the
+    exact string-5-gram-set jaccard recomputed driver-side for every
+    emitted pair (the dd_near_dup_verified oracle's definition)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and détour café "
+        "naïve résumé text with unicode flair repeated for length " * 2
+    )
+    rows = [(f"d{i}", base.replace("dog", w)) for i, w in enumerate(
+        ["dog", "dpg", "cat", "dog today", "doog"]
+    )] + [(f"u{i}", f"unrelated filler {i} " * 20) for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = similarity.minhash_near_dup_pairs(docs).collect()
+    assert len(got) >= 4  # the planted near-identical variants pair up
+
+    import re
+
+    norm = {
+        d: re.sub(r"\s+", " ", t.strip().lower()) for d, t in rows
+    }
+
+    def sset(t):
+        return set(t[i : i + 5] for i in range(len(t) - 4)) if len(t) >= 5 else {t}
+
+    for r in got:
+        a, b = sset(norm[r.doc_a]), sset(norm[r.doc_b])
+        want = round(len(a & b) / len(a | b), 6)
+        assert abs(r.jaccard - want) < 1e-9, (r.doc_a, r.doc_b, r.jaccard, want)
+
+
 def test_incremental_minhash_matches_batch(spark, tmp_path):
     """Incremental dedup against a stage-written index must equal the
     batch run over (indexed + new) restricted to pairs touching a new
