@@ -82,6 +82,43 @@ def test_cc_matches_union_find(spark):
     assert below == want
 
 
+def test_cc_chain_rounds_logarithmic(spark):
+    """Round 8 (VERDICT round 7 #3): the distributed kernel carries a
+    pointer-doubling shortcut leg (l(l(v)) joins each round's
+    min-aggregate), so a high-diameter chain converges in O(log d)
+    rounds instead of O(d). d=64 chain: plain one-hop propagation needs
+    64+ rounds; the bound here is 2*log2(d) + 2 slack."""
+    import math
+
+    d = 64
+    pairs = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(d)]
+    stats: dict = {}
+    labels = {
+        r.node: r.label
+        for r in canonicalize.connected_components(
+            _edges(spark, pairs), max_iter=50, driver_max_edges=0, stats=stats
+        ).collect()
+    }
+    assert set(labels.values()) == {"c000"} and len(labels) == d + 1
+    assert stats["rounds"] <= 2 * int(math.log2(d)) + 2, stats
+
+
+def test_cc_max_iter_zero_returns_initial_labels(spark):
+    """max_iter < 1 on the distributed path must return the (unconverged)
+    initial labels and still fill stats — ADVICE round 7: the stats
+    update read the unbound loop variable and raised NameError."""
+    pairs = [("a", "b"), ("b", "c")]
+    stats: dict = {}
+    labels = {
+        r.node: r.label
+        for r in canonicalize.connected_components(
+            _edges(spark, pairs), max_iter=0, driver_max_edges=0, stats=stats
+        ).collect()
+    }
+    assert stats == {"path": "distributed", "rounds": 0}
+    assert labels == {"a": "a", "b": "b", "c": "c"}
+
+
 def test_salting_invariance(spark):
     pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("c", "hub")] + [
         (f"leaf{i}", "hub") for i in range(20)
