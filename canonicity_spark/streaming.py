@@ -101,10 +101,15 @@ class StreamConf:
 
 
 def make_catalog(conf: StreamConf) -> StageCatalog:
-    if conf.catalog_factory is not None:
-        return conf.catalog_factory(conf)
+    # memoized for BOTH backends (ADVICE round 7: the factory path
+    # built a fresh catalog per process_batch/compact call, so custom
+    # backends never benefited from the per-conf stage-relation memo
+    # and re-listed every archive part each micro-batch)
     if conf._catalog is None:
-        conf._catalog = ParquetCatalog(conf.work_dir)
+        if conf.catalog_factory is not None:
+            conf._catalog = conf.catalog_factory(conf)
+        else:
+            conf._catalog = ParquetCatalog(conf.work_dir)
     return conf._catalog
 
 
