@@ -220,16 +220,19 @@ def _cc_distributed_loop(
         .distinct()
     )
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
-    # Round 8: the symmetric edge table is hash-partitioned on src ONCE
-    # and checkpointed — localCheckpoint's LogicalRDD preserves the
-    # output partitioning, so every round's propagation join reuses it
-    # with ZERO exchange and zero sort on the edge side (the round-7
-    # kernel re-shuffled + re-sorted the 2|E| edge rows through a
-    # sort-merge join EVERY round). The labels side is the only per-
-    # round shuffle, and the SHUFFLE_HASH hint keeps the join sortless
-    # (build = node-scale labels, stream = edges; per-partition build
-    # is |V|/partitions rows — bounded, and spill-safe at the scale a
-    # vocabulary/pair graph reaches after upstream contraction).
+    # Round 8: the per-round propagation join is a sortless
+    # SHUFFLE_HASH join (build = node-scale labels, stream = edges;
+    # per-partition build is |V|/partitions rows — bounded, and
+    # spill-safe at the scale a vocabulary/pair graph reaches after
+    # upstream contraction) — the round-7 kernel sort-merge-joined,
+    # re-SORTING the 2|E| edge rows every round. The edge table is
+    # balanced-repartitioned before its one-time checkpoint so the
+    # round scans read even splits; note an AQE-planned checkpoint does
+    # NOT preserve the hash partitioning (LogicalRDD reports
+    # UnknownPartitioning — verified in plans/r08/cc_round_after.txt),
+    # so each round still exchanges the edge rows once; the win over
+    # round 7 is the removed sorts and the restored parallelism, not a
+    # removed exchange.
     n_part = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
@@ -247,24 +250,6 @@ def _cc_distributed_loop(
             sym.join(labels.hint("SHUFFLE_HASH"), sym.src == labels.node, "inner")
             .select(F.col("dst").alias("node"), "label")
         )
-        # Pointer-doubling shortcut leg (round 8, SURVEY §2.E G3 /
-        # VERDICT round 7 #3): l(l(v)) joins the round's min-aggregate
-        # alongside the one-hop neighbor minimum. Every label IS a node
-        # id of the same component (labels start as node ids and only
-        # ever take existing node-id values), so the label->node join
-        # is total and the shortcut stays inside the component. Label
-        # paths halve per round: rounds drop from O(diameter) to
-        # O(log diameter) on chain-shaped components, at the cost of
-        # one extra node-scale shuffled-hash join per round.
-        lab2 = labels.select(
-            F.col("node").alias("_ln"), F.col("label").alias("_ll")
-        )
-        shortcut = (
-            labels.join(
-                lab2.hint("SHUFFLE_HASH"), labels.label == lab2._ln, "inner"
-            )
-            .select("node", F.col("_ll").alias("label"))
-        )
         # Fused round (round 7): the node's OLD label rides the
         # aggregate as min(label WHERE self-leg) — every node has
         # exactly one self row, so the convergence test becomes a
@@ -279,7 +264,30 @@ def _cc_distributed_loop(
         # forces a materialization anyway).
         cand = labels.withColumn("_self", F.lit(True)).unionByName(
             nbr.withColumn("_self", F.lit(False))
-        ).unionByName(shortcut.withColumn("_self", F.lit(False)))
+        )
+        if _i > 0:
+            # Pointer-doubling shortcut leg (round 8, SURVEY §2.E G3 /
+            # VERDICT round 7 #3): l(l(v)) joins the round's
+            # min-aggregate alongside the one-hop neighbor minimum.
+            # Every label IS a node id of the same component (labels
+            # start as node ids and only ever take existing node-id
+            # values), so the label->node join is total and the
+            # shortcut stays inside the component. Label paths halve
+            # per round: rounds drop from O(diameter) to O(log
+            # diameter) on chain-shaped components, at the cost of one
+            # extra node-scale shuffled-hash join per round. Skipped in
+            # round 0, where labels == nodes makes l(l(v)) == l(v) —
+            # two shuffles of pure identity rows.
+            lab2 = labels.select(
+                F.col("node").alias("_ln"), F.col("label").alias("_ll")
+            )
+            shortcut = (
+                labels.join(
+                    lab2.hint("SHUFFLE_HASH"), labels.label == lab2._ln, "inner"
+                )
+                .select("node", F.col("_ll").alias("label"))
+            )
+            cand = cand.unionByName(shortcut.withColumn("_self", F.lit(False)))
         old_min = F.min(F.when(F.col("_self"), F.col("label")))
         if use_salting:
             # G6 two-phase salted min (salt from the VALUE so a hot
