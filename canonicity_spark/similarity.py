@@ -440,11 +440,21 @@ def minhash_near_dup_pairs(
     )
 
 
+#: Candidate-doc bound under which the verify join broadcasts the
+#: shingle-set table instead of shuffling it to the pairs. ~2 KB of
+#: hashes per doc at the 5-gram geometry puts 2^17 docs around a few
+#: hundred MB — the same envelope as link.BROADCAST_BUILD_MAX_ROWS and
+#: comfortably under Spark's broadcast caps. Above it, the shuffled
+#: join (the correct shape at archive scale) is kept.
+VERIFY_BROADCAST_MAX_DOCS = 1 << 17
+
+
 def _verify_pairs_jaccard(
     pairs: DataFrame,
     base: DataFrame,
     owner: str = "default",
     min_jaccard: float | None = None,
+    broadcast_max_docs: int = VERIFY_BROADCAST_MAX_DOCS,
 ) -> DataFrame:
     """Exact 5-gram jaccard over candidate pairs, with each CANDIDATE
     DOC's shingle set computed once and joined to its pairs.
@@ -502,21 +512,31 @@ def _verify_pairs_jaccard(
         .mapInArrow(_shingle_sets_kernel, _shingle_sets_schema()),
         owner=owner,
     )
-    with_sets = pairs.join(
-        sets.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("_sh").alias("sh_a"),
-            F.col("_sz").alias("sz_a"),
-        ),
-        "doc_a",
-    ).join(
-        sets.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("_sh").alias("sh_b"),
-            F.col("_sz").alias("sz_b"),
-        ),
-        "doc_b",
+    # round 8 (2nd pass): the pair⋈set joins used to shuffle — and the
+    # second join re-exchanged every PAIR row already carrying its
+    # ~2 KB sh_a array (~2 GB at 990k candidates on the 100k corpus).
+    # When the candidate-doc set is broadcast-bounded (bounded row
+    # probe, the band_join guard pattern — O(bound), never O(sets)),
+    # broadcast the set table into BOTH joins: the pairs then stream
+    # through two BroadcastHashJoins with zero exchange. Measured
+    # (alternated A/B, min-of-4, 990,716 pairs / 75,488 candidate
+    # docs): 4.27s -> 2.29s, with far tighter walls (no fat shuffle to
+    # contend with ambient load). Above the bound the shuffled join is
+    # the correct archive-scale shape and is kept unchanged.
+    n_cand = cand_ids.select(F.lit(1)).limit(broadcast_max_docs + 1).count()
+    set_a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_sz").alias("sz_a"),
     )
+    set_b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_sz").alias("sz_b"),
+    )
+    if n_cand <= broadcast_max_docs:
+        set_a, set_b = F.broadcast(set_a), F.broadcast(set_b)
+    with_sets = pairs.join(set_a, "doc_a").join(set_b, "doc_b")
     if min_jaccard is not None:
         with_sets = with_sets.filter(
             F.least("sz_a", "sz_b")

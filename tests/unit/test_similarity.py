@@ -374,6 +374,42 @@ def test_near_dup_jaccard_matches_string_reference(spark):
         assert abs(r.jaccard - want) < 1e-9, (r.doc_a, r.doc_b, r.jaccard, want)
 
 
+def test_verify_broadcast_guard_falls_back_above_bound(spark):
+    """Round 8 (2nd pass): the verify join broadcasts the shingle-set
+    table only under the candidate-doc bound — above it, the shuffled
+    join runs with identical output (the band_join guard pattern)."""
+    from canonicity_spark import cache
+
+    rows = [(f"d{i}", f"document body shared prefix {i % 3} " * 6)
+            for i in range(9)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base, banded = similarity._banded_docs(docs, "text")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    def rows_of(df):
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+    bcast = similarity._verify_pairs_jaccard(pairs, base, owner="t_vb")
+    fallback = similarity._verify_pairs_jaccard(
+        pairs, base, owner="t_vb2", broadcast_max_docs=1
+    )
+    got_b, got_f = rows_of(bcast), rows_of(fallback)
+    cache.unpin_all(owner="t_vb")
+    cache.unpin_all(owner="t_vb2")
+    assert got_b == got_f and got_b  # identical pairs on both paths
+    # under the bound the set table is broadcast on both join sides;
+    # over it, not forced (tiny frames may still auto-broadcast, so
+    # assert only the under-bound direction)
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_incremental_minhash_matches_batch(spark, tmp_path):
     """Incremental dedup against a stage-written index must equal the
     batch run over (indexed + new) restricted to pairs touching a new
