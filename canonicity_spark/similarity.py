@@ -523,7 +523,27 @@ def _verify_pairs_jaccard(
     # docs): 4.27s -> 2.29s, with far tighter walls (no fat shuffle to
     # contend with ambient load). Above the bound the shuffled join is
     # the correct archive-scale shape and is kept unchanged.
-    n_cand = cand_ids.select(F.lit(1)).limit(broadcast_max_docs + 1).count()
+    # The bounded probe is the ACTION that executes the whole candidate
+    # DAG (banding, bucket self-join, pair dedup, id distinct) into the
+    # pins above — so it is also the right place to scope AQE
+    # parallelismFirst=true (the CC-kernel pattern, canonicalize.py):
+    # under the session default (parallelismFirst=false, right for the
+    # pipeline's vocabulary-scale stages) AQE coalesces the
+    # candidate-scale shuffle reads toward the 64 MB advisory size and
+    # under-parallelizes them — alternated A/B on the 100k corpus:
+    # pairs stage 4.05s -> 2.64s min-of-4. Scoped + restored in a
+    # finally; output is partitioning-invariant.
+    spark_conf = pairs.sparkSession.conf
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    _pf_before = spark_conf.get(_PF, None)
+    spark_conf.set(_PF, "true")
+    try:
+        n_cand = cand_ids.select(F.lit(1)).limit(broadcast_max_docs + 1).count()
+    finally:
+        if _pf_before is None:
+            spark_conf.unset(_PF)
+        else:
+            spark_conf.set(_PF, _pf_before)
     set_a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("_sh").alias("sh_a"),
